@@ -1,0 +1,188 @@
+"""Port reference PyTorch checkpoints into rcot-tpu param pytrees.
+
+The reference pickles whole nn.Module objects ({"epoch", "Tnet", "Fnet"},
+reference: trainer.py:362-371) and distributes legacy {model, discr} weights
+(trainer.py:110-117). This module converts a torch state_dict (name -> tensor)
+into our NHWC/HWIO pytrees so reference-trained weights run on TPU:
+
+- Conv2d weight OIHW -> HWIO transpose; depthwise (O,1,H,W) -> (H,W,1,O).
+- Linear weight (out, in) -> (in, out) transpose; the critic's first FC also
+  permutes its input rows from torch's flatten order (C, H, W) to our NHWC
+  flatten order (H, W, C) (see models/critic.py docstring).
+- LayerNorm weight/bias and the MDTA temperature pass through.
+
+Works from either a live torch state_dict (tensors) or a {name: np.ndarray}
+dict (so tests don't require torch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from ..utils.config import CriticConfig, ModelConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_w(t) -> np.ndarray:
+    """torch OIHW -> HWIO (covers depthwise (O,1,kh,kw) too)."""
+    return np.transpose(_np(t), (2, 3, 1, 0))
+
+
+def linear_w(t) -> np.ndarray:
+    return np.transpose(_np(t), (1, 0))
+
+
+class _SD:
+    """state_dict view with exact-match + consumption tracking."""
+
+    def __init__(self, sd: Mapping[str, object]):
+        self.sd = dict(sd)
+        self.used = set()
+
+    def take(self, name: str):
+        self.used.add(name)
+        return self.sd[name]
+
+    def has(self, name: str) -> bool:
+        return name in self.sd
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+
+def _port_conv(sd: _SD, prefix: str, *, transpose=True) -> Dict:
+    p = {"w": conv_w(sd.take(prefix + ".weight"))}
+    if sd.has(prefix + ".bias"):
+        p["b"] = _np(sd.take(prefix + ".bias"))
+    return p
+
+
+def _port_ln(sd: _SD, prefix: str) -> Dict:
+    p = {"w": _np(sd.take(prefix + ".body.weight"))}
+    if sd.has(prefix + ".body.bias"):
+        p["b"] = _np(sd.take(prefix + ".body.bias"))
+    return p
+
+
+def _port_block(sd: _SD, prefix: str) -> Dict:
+    return {
+        "norm1": _port_ln(sd, prefix + ".norm1"),
+        "attn": {
+            "temperature": _np(sd.take(prefix + ".attn.temperature")),
+            "qkv": _port_conv(sd, prefix + ".attn.qkv"),
+            "qkv_dw": _port_conv(sd, prefix + ".attn.qkv_dwconv"),
+            "proj": _port_conv(sd, prefix + ".attn.project_out"),
+        },
+        "norm2": _port_ln(sd, prefix + ".norm2"),
+        "ffn": {
+            "proj_in": _port_conv(sd, prefix + ".ffn.project_in"),
+            "dw": _port_conv(sd, prefix + ".ffn.dwconv"),
+            "proj_out": _port_conv(sd, prefix + ".ffn.project_out"),
+        },
+    }
+
+
+def _port_stack(sd: _SD, prefix: str, n: int) -> list:
+    return [_port_block(sd, f"{prefix}.{i}") for i in range(n)]
+
+
+def _port_resample(sd: _SD, prefix: str) -> Dict:
+    # reference wraps the conv in nn.Sequential: '<prefix>.body.0'
+    return {"conv": _port_conv(sd, prefix + ".body.0")}
+
+
+def port_tnet_state_dict(sd_in: Mapping[str, object], cfg: ModelConfig) -> Dict:
+    """Reference T_net state_dict -> rcot-tpu param pytree (init_tnet layout)."""
+    sd = _SD(sd_in)
+    nb = cfg.num_blocks
+    p: Dict = {
+        "patch_embed": _port_conv(sd, "patch_embed.proj"),
+        "encoder_level1": _port_stack(sd, "encoder_level1", nb[0]),
+        "resencoder_level1": _port_stack(sd, "resencoder_level1", nb[0]),
+        "down1_2": _port_resample(sd, "down1_2"),
+        "resdown1_2": _port_resample(sd, "resdown1_2"),
+        "encoder_level2": _port_stack(sd, "encoder_level2", nb[1]),
+        "resencoder_level2": _port_stack(sd, "resencoder_level2", nb[1]),
+        "down2_3": _port_resample(sd, "down2_3"),
+        "resdown2_3": _port_resample(sd, "resdown2_3"),
+        "encoder_level3": _port_stack(sd, "encoder_level3", nb[2]),
+        "resencoder_level3": _port_stack(sd, "resencoder_level3", nb[2]),
+        "down3_4": _port_resample(sd, "down3_4"),
+        "latent": _port_stack(sd, "latent", nb[3]),
+        "reslatent": _port_stack(sd, "reslatent", nb[3]),
+        "up4_3": _port_resample(sd, "up4_3"),
+        "reduce_chan_level3": _port_conv(sd, "reduce_chan_level3"),
+        "noise_level3": _port_block(sd, "noise_level3"),
+        "reduce_noise_level3": _port_conv(sd, "reduce_noise_level3"),
+        "decoder_level3": _port_stack(sd, "decoder_level3", nb[2]),
+        "up3_2": _port_resample(sd, "up3_2"),
+        "reduce_chan_level2": _port_conv(sd, "reduce_chan_level2"),
+        "noise_level2": _port_block(sd, "noise_level2"),
+        "reduce_noise_level2": _port_conv(sd, "reduce_noise_level2"),
+        "decoder_level2": _port_stack(sd, "decoder_level2", nb[1]),
+        "up2_1": _port_resample(sd, "up2_1"),
+        "noise_level1": _port_block(sd, "noise_level1"),
+        "reduce_noise_level1": _port_conv(sd, "reduce_noise_level1"),
+        "decoder_level1": _port_stack(sd, "decoder_level1", nb[0]),
+        "refinement": _port_stack(sd, "refinement", cfg.num_refinement_blocks),
+        "output": _port_conv(sd, "output"),
+    }
+    if cfg.parity_params:
+        p["unused"] = {
+            "res_patch_embed": _port_conv(sd, "res_patch_embed.proj"),
+            "chnl_reduce1": _port_conv(sd, "chnl_reduce1"),
+            "chnl_reduce2": _port_conv(sd, "chnl_reduce2"),
+            "chnl_reduce3": _port_conv(sd, "chnl_reduce3"),
+            "reduce_noise_channel_1": _port_conv(sd, "reduce_noise_channel_1"),
+            "reduce_noise_channel_2": _port_conv(sd, "reduce_noise_channel_2"),
+            "reduce_noise_channel_3": _port_conv(sd, "reduce_noise_channel_3"),
+            "resdown3_4": _port_resample(sd, "resdown3_4"),
+            "resnoise_level3": _port_block(sd, "resnoise_level3"),
+            "resreduce_noise_level3": _port_conv(sd, "resreduce_noise_level3"),
+        }
+    return p
+
+
+# critic conv layer indices inside the reference's nn.Sequential 'features'
+# (LeakyReLU layers interleave at odd indices; reference: Net_Restormer.py:440-490).
+_FNET_FEATURE_IDX = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+def port_fnet_state_dict(sd_in: Mapping[str, object], cfg: CriticConfig) -> Dict:
+    sd = _SD(sd_in)
+    convs = [_port_conv(sd, f"features.{i}") for i in _FNET_FEATURE_IDX]
+
+    # fc input rows: torch flattens (C, H, W); we flatten (H, W, C).
+    side = cfg.patch_size // 32
+    w = linear_w(sd.take("fc.weight"))  # (in, out) after transpose
+    n_in, n_out = w.shape
+    w = w.reshape(512, side, side, n_out)        # torch order (C, H, W)
+    w = np.transpose(w, (1, 2, 0, 3)).reshape(n_in, n_out)  # -> (H, W, C)
+    fc = {"w": w, "b": _np(sd.take("fc.bias"))}
+    fc1 = {"w": linear_w(sd.take("fc1.weight")), "b": _np(sd.take("fc1.bias"))}
+    fc2 = {"w": linear_w(sd.take("fc2.weight")), "b": _np(sd.take("fc2.bias"))}
+    return {"convs": convs, "fc": fc, "fc1": fc1, "fc2": fc2}
+
+
+def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
+                              critic_cfg: CriticConfig):
+    """Load a reference .pth (pickled modules) -> (t_params, f_params, epoch).
+
+    Requires torch at call time (the pickle embeds nn.Module classes, so this
+    only works where the reference code is importable; primarily a tooling
+    path, not a runtime one)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    t_sd = ckpt["Tnet"].state_dict()
+    f_sd = ckpt["Fnet"].state_dict()
+    return (port_tnet_state_dict(t_sd, model_cfg),
+            port_fnet_state_dict(f_sd, critic_cfg),
+            int(ckpt.get("epoch", 0)))

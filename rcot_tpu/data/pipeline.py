@@ -1,0 +1,115 @@
+"""Input pipeline: threaded host decode + device-side preproc, double-buffered.
+
+The reference blocks the GPU on Python DataLoader workers doing PIL decode,
+numpy augment and noise per sample (reference: trainer.py:134-135,247). Here:
+
+- a thread pool decodes/crops uint8 patches (PIL releases the GIL in decode);
+- batches are device_put ahead of consumption (`prefetch` deep) so H2D overlaps
+  compute;
+- augmentation + degradation synthesis run on-device (data/degradations.py),
+  jit-fused, keyed by a counter-derived PRNG key -> the whole pipeline is
+  deterministic given (seed, epoch, step) and resumable mid-epoch.
+
+Per-host sharding: each process takes a strided slice of the shuffled index
+(process_index::process_count), the standard JAX host-batch split.
+"""
+
+from __future__ import annotations
+
+import collections
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from ..utils.config import Config
+from .datasets import Sample, TrainIndex, get_patch_pair
+
+
+class HostBatch:
+    __slots__ = ("degraded", "clean", "de_id")
+
+    def __init__(self, degraded: np.ndarray, clean: np.ndarray, de_id: np.ndarray):
+        self.degraded = degraded
+        self.clean = clean
+        self.de_id = de_id
+
+
+class TrainLoader:
+    """Deterministic, resumable epoch iterator over host batches."""
+
+    def __init__(self, cfg: Config, *, seed: int = 0,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.cfg = cfg
+        self.seed = seed
+        self.pi = jax.process_index() if process_index is None else process_index
+        self.pc = jax.process_count() if process_count is None else process_count
+        self.index = TrainIndex(cfg.data, random.Random(seed))
+        self.pool = ThreadPoolExecutor(max_workers=max(1, cfg.data.num_workers))
+
+    def steps_per_epoch(self) -> int:
+        local = len(range(self.pi, len(self.index), self.pc))
+        return local // self.cfg.train.batch_size
+
+    def epoch(self, epoch: int, start_step: int = 0) -> Iterator[HostBatch]:
+        """Yield batches for `epoch`, skipping the first `start_step` (resume)."""
+        order = list(range(len(self.index)))
+        random.Random(f"{self.seed}:{epoch}").shuffle(order)
+        order = order[self.pi::self.pc]
+        bs = self.cfg.train.batch_size
+        n_batches = len(order) // bs
+
+        def make(bstep: int) -> HostBatch:
+            rng = random.Random(f"{self.seed}:{epoch}:{bstep}:{self.pi}")
+            samples = [self.index.samples[order[bstep * bs + k]] for k in range(bs)]
+            degs, cleans, ids = [], [], []
+            for s in samples:
+                d, c, i = get_patch_pair(
+                    s, self.cfg.data.patch_size, self.cfg.data.crop_base, rng)
+                degs.append(d)
+                cleans.append(c)
+                ids.append(i)
+            return HostBatch(np.stack(degs), np.stack(cleans),
+                             np.asarray(ids, np.int32))
+
+        window = max(2, self.cfg.data.prefetch + 1)
+        pending = collections.deque()
+        nxt = start_step
+        while nxt < n_batches and len(pending) < window:
+            pending.append(self.pool.submit(make, nxt))
+            nxt += 1
+        while pending:
+            yield pending.popleft().result()
+            if nxt < n_batches:
+                pending.append(self.pool.submit(make, nxt))
+                nxt += 1
+
+
+def device_prefetch(host_iter, size: int = 2, sharding=None):
+    """Move host batches to device `size` ahead of consumption."""
+    queue = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding),
+                (b.degraded, b.clean, b.de_id))
+        return jax.tree_util.tree_map(jax.device_put, (b.degraded, b.clean, b.de_id))
+
+    it = iter(host_iter)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,69 @@
+"""MDTA: Multi-DConv-Head Transposed (channel) Attention.
+
+Behavioral spec (reference: Net_Restormer.py:19-50): QKV by 1x1 conv + 3x3
+depthwise conv; per head, L2-normalize Q and K along the *spatial* axis; the
+attention matrix is channel-by-channel, `softmax((Q @ K^T) * temperature)`
+with shape (heads, c, c) — linear in pixels, O(C^2 * HW) FLOPs.
+
+TPU-first design: activations stay NHWC; the head split is a reshape of the
+trailing channel dim (free); the two attention matmuls are (c, HW) @ (HW, c)
+and (c, c) @ (c, HW), both MXU-shaped with HW on the 128-lane axis. A fused
+Pallas kernel for normalize+attn+softmax+apply lives in ops/pallas_mdta.py;
+this file is the pure-jnp reference twin.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import rng as rnglib
+from .conv import conv2d, init_conv2d
+
+_L2_EPS = 1e-12  # torch F.normalize default eps
+
+
+def init_mdta(key, dim: int, num_heads: int, *, bias: bool, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = rnglib.split(key, 3)
+    return {
+        "temperature": np.ones((num_heads, 1, 1), np.dtype(dtype)),
+        "qkv": init_conv2d(k1, dim, dim * 3, 1, bias=bias, dtype=dtype),
+        "qkv_dw": init_conv2d(k2, dim * 3, dim * 3, 3, groups=dim * 3, bias=bias, dtype=dtype),
+        "proj": init_conv2d(k3, dim, dim, 1, bias=bias, dtype=dtype),
+    }
+
+
+def _l2_normalize(x: jax.Array, axis: int) -> jax.Array:
+    # torch F.normalize: x / max(||x||_2, eps)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, _L2_EPS)
+
+
+def mdta_attend(q: jax.Array, k: jax.Array, v: jax.Array,
+                temperature: jax.Array) -> jax.Array:
+    """Core transposed attention on (B, heads, c, HW) tensors -> same shape."""
+    q = _l2_normalize(q, axis=-1)
+    k = _l2_normalize(k, axis=-1)
+    attn = jnp.einsum("bhcn,bhdn->bhcd", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn * temperature.astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhcd,bhdn->bhcn", attn, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
+    """x: (B, H, W, C) -> (B, H, W, C)."""
+    b, h, w, c = x.shape
+    ch = c // num_heads
+
+    qkv = conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
+    # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
+    # reference's 'b (head c) h w -> b head c (h w)' split.
+    qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
+    out = mdta_attend(qkv[0], qkv[1], qkv[2], p["temperature"])
+
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
+    return conv2d(p["proj"], out)

@@ -1,0 +1,42 @@
+"""GDFN: Gated-DConv Feed-forward Network.
+
+Behavioral spec (reference: Net_Restormer.py:67-85): 1x1 conv expanding to
+2 * hidden where hidden = int(dim * ffn_expansion_factor); 3x3 depthwise conv;
+split in two; `gelu(x1) * x2` (exact erf gelu, torch default); 1x1 project
+back to dim.
+
+On TPU the 1x1 convs are MXU matmuls and XLA fuses the gate elementwise chain
+into the depthwise conv's output; the hidden size int(48*2.66)=127 etc. is kept
+for parameter parity even though it is not lane-aligned (a padded fast-path
+variant is a documented option, not the default).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import rng as rnglib
+from .conv import conv2d, init_conv2d
+
+
+def hidden_features(dim: int, ffn_expansion_factor: float) -> int:
+    return int(dim * ffn_expansion_factor)
+
+
+def init_gdfn(key, dim: int, ffn_expansion_factor: float, *, bias: bool,
+              dtype=jnp.float32) -> dict:
+    hid = hidden_features(dim, ffn_expansion_factor)
+    k1, k2, k3 = rnglib.split(key, 3)
+    return {
+        "proj_in": init_conv2d(k1, dim, hid * 2, 1, bias=bias, dtype=dtype),
+        "dw": init_conv2d(k2, hid * 2, hid * 2, 3, groups=hid * 2, bias=bias, dtype=dtype),
+        "proj_out": init_conv2d(k3, hid, dim, 1, bias=bias, dtype=dtype),
+    }
+
+
+def gdfn(p: dict, x: jax.Array) -> jax.Array:
+    h = conv2d(p["proj_in"], x)
+    h = conv2d(p["dw"], h, groups=h.shape[-1])
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    return conv2d(p["proj_out"], jax.nn.gelu(x1, approximate=False) * x2)

@@ -1,0 +1,72 @@
+"""Device mesh + sharding for multi-chip training and inference.
+
+The reference has no parallelism at all (SURVEY.md §2 census — one process,
+one GPU via CUDA_VISIBLE_DEVICES). This module is the green-field TPU design:
+
+- a `Mesh` over ICI with a 'data' axis (DP is the right strategy: the 47M-param
+  model replicates trivially, batch shards);
+- the train iteration jit-compiled with params/opt-state REPLICATED and batch
+  inputs sharded on 'data' — XLA inserts the gradient all-reduce over ICI, we
+  never hand-write a psum;
+- optional 'spatial' axis for full-resolution inference: activations shard
+  over image rows and XLA inserts halo exchanges for the 3x3 convs
+  (the context-parallelism analog for this workload, SURVEY.md §5).
+
+Multi-host entry: call jax.distributed.initialize() before building the mesh
+(initialize_distributed below is a guarded wrapper).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize, no-op when single-process with no args."""
+    if coordinator is None and num_processes in (None, 1):
+        return
+    jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(data: Optional[int] = None, spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'spatial') mesh. Defaults: all devices on 'data'."""
+    devs = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devs) // spatial
+    if data * spatial != len(devs):
+        raise ValueError(f"mesh {data}x{spatial} != {len(devs)} devices")
+    arr = np.asarray(devs).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) activations sharded over image rows for full-res inference;
+    XLA inserts halo exchange for the 3x3 convs."""
+    return NamedSharding(mesh, P(None, "spatial", None, None))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with batch-dim sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,62 @@
+"""Loss math for the RCOT minimax, quirk-exact to the reference.
+
+Transport-map (T) objective (reference: trainer.py:318-343):
+    T_loss = -mean(F(T(x)))
+             + sigma * ( sqrt(mean(res^2)) + fourier_residual_penalty(res, de_id) )
+             + [ Sigma * mean|T(x) - y|   if the iteration is in the paired phase ]
+where res = x - T(x). The paired gate is iteration < pairnum // batch_size
+(trainer.py:338) — pairnum interpolates unpaired<->paired per epoch
+(SURVEY.md §2.2 #5). Implemented as a traced boolean so both phases share one
+compiled program.
+
+Critic (F) objective (reference: trainer.py:266-308):
+    F_loss  = -mean(F(y)) + mean(F(T(x).detach()))
+    GP      = 10 * mean((||dF/dx_hat||_2 - 1)^2),  x_hat = a*y + (1-a)*T(x)
+with TWO sequential optimizer steps per iteration (WGAN loss first, the
+gradient penalty against the already-updated critic second — SURVEY.md §2.2 #3).
+The input-gradient is a first-class jax.grad here, no retain_graph gymnastics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fourier import fourier_residual_penalty, residual_rmse
+
+
+def t_loss(out: jax.Array, inp: jax.Array, target: jax.Array, de_id: jax.Array,
+           critic_score: jax.Array, *, sigma: float, Sigma: float,
+           paired: jax.Array, loss_math: str = "reference") -> Tuple[jax.Array, Dict]:
+    """Transport-map loss. `paired` is a traced bool scalar."""
+    res = inp - out
+    rmse = residual_rmse(res)
+    fourier = fourier_residual_penalty(res, de_id, loss_math)
+    adv = -jnp.mean(critic_score)
+    paired_l1 = jnp.mean(jnp.abs(out - target))
+    loss = adv + sigma * (rmse + fourier) + jnp.where(paired, Sigma * paired_l1, 0.0)
+    aux = {"t_adv": adv, "rmse": rmse, "fourier": fourier, "paired_l1": paired_l1}
+    return loss, aux
+
+
+def wgan_critic_loss(score_real: jax.Array, score_fake: jax.Array) -> jax.Array:
+    """-mean F(real) + mean F(fake) (reference: trainer.py:268-276)."""
+    return -jnp.mean(score_real) + jnp.mean(score_fake)
+
+
+def gradient_penalty(critic_fn: Callable[[jax.Array], jax.Array],
+                     real: jax.Array, fake: jax.Array, key: jax.Array,
+                     weight: float = 10.0) -> jax.Array:
+    """WGAN-GP on per-sample interpolates (reference: trainer.py:283-305).
+
+    critic_fn: x (B,H,W,C) -> (B,) scores. The norm is over all non-batch dims.
+    """
+    b = real.shape[0]
+    alpha = jax.random.uniform(key, (b, 1, 1, 1), dtype=real.dtype)
+    x_hat = alpha * real + (1.0 - alpha) * fake
+    # d/dx of sum(F(x)) gives per-sample input gradients in one pass.
+    grads = jax.grad(lambda x: jnp.sum(critic_fn(x)))(x_hat)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1))
+    return weight * jnp.mean(jnp.square(norms - 1.0))

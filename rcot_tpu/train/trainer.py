@@ -1,0 +1,193 @@
+"""The training driver: epochs, minimax iterations, eval, checkpointing.
+
+Replaces the reference's trainer.py main()/train()/evaluate() loop
+(reference: trainer.py:67-232) with:
+- ONE compiled program per minimax iteration (f_step + t_step fused), donated
+  state buffers, device-side augmentation/degradation;
+- per-epoch PSNR validation over a folder (reference: trainer.py:179-227) via
+  the bucketed Restorer (no mod-4 skips — images are padded, SURVEY.md §2.2 #9);
+- deterministic step-exact resume: checkpoints carry params, both optimizer
+  states, step/epoch, and the loader is reconstructable from (seed, epoch,
+  step) (SURVEY.md §5 checkpoint/resume);
+- --fail-at-step fault injection for recovery tests (SURVEY.md §5 failure
+  detection);
+- JSONL metrics + periodic PNG sample dumps OUTSIDE the hot loop (the
+  reference writes PNGs from inside forward, Net_Restormer.py:433).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.degradations import augment_and_degrade
+from ..data.pipeline import TrainLoader, device_prefetch
+from ..models.inference import make_restorer
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.config import Config
+from ..utils.logging import MetricsLogger, StepTimer
+from .optim import step_decay_lr
+from .steps import Batch, TrainState, create_train_state, make_train_iteration
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by --fail-at-step fault injection."""
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, mesh=None, log_path: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.log = MetricsLogger(log_path)
+        self.loader = TrainLoader(cfg, seed=cfg.train.seed)
+        self._iteration = jax.jit(make_train_iteration(cfg), donate_argnums=(0,))
+        out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+
+        # Key derivation happens INSIDE the jitted program: fold_in/split as
+        # standalone ops would each pay a dispatch round-trip per step.
+        def _preproc(step, clean, deg, de_id):
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+            k_pre, k_gp = jax.random.split(key)
+            degraded, target = augment_and_degrade(
+                k_pre, clean, deg, de_id, out_dtype=out_dtype)
+            return degraded, target, k_gp
+
+        self._preproc = jax.jit(_preproc)
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 1
+        self.start_step = 0  # mid-epoch resume point
+        # host mirror of state.step: reading the device scalar every iteration
+        # would force a sync and stall the pipeline.
+        self.host_step = 0
+
+    # ------------------------------------------------------------ state
+
+    def init_state(self) -> TrainState:
+        self.state = create_train_state(
+            jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
+        self.host_step = 0
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate
+            self.state = replicate(self.mesh, self.state)
+        return self.state
+
+    def resume(self, path: str) -> None:
+        template = jax.eval_shape(
+            lambda k: create_train_state(k, self.cfg),
+            jax.random.PRNGKey(self.cfg.train.seed))
+        state, meta = load_checkpoint(path, template)
+        self.state = state
+        self.host_step = int(state.step)
+        self.start_epoch = int(meta.get("epoch", 1))
+        self.start_step = int(meta.get("epoch_step", 0))
+        if meta.get("config_hash") not in (None, self.cfg.hash()):
+            self.log.log("resume_config_mismatch", ckpt=path,
+                         ckpt_hash=meta.get("config_hash"),
+                         run_hash=self.cfg.hash())
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate
+            self.state = replicate(self.mesh, self.state)
+        self.log.log("resumed", path=path, epoch=self.start_epoch,
+                     epoch_step=self.start_step)
+
+    def save(self, epoch: int, epoch_step: int = 0) -> str:
+        t = self.cfg.train
+        name = f"{t.run_name}_step{self.host_step}"
+        path = os.path.join(t.ckpt_dir, name)
+        return save_checkpoint(
+            path, self.state,
+            metadata={"epoch": epoch, "epoch_step": epoch_step,
+                      "config_hash": self.cfg.hash(),
+                      "config": self.cfg.to_dict()},
+            keep_n=t.ckpt_keep)
+
+    # ------------------------------------------------------------ loop
+
+    def train_epoch(self, epoch: int, start_step: int = 0) -> dict:
+        cfg = self.cfg
+        t = cfg.train
+        # reference passes epoch-1 into the decay (trainer.py:235).
+        lr = jnp.float32(step_decay_lr(t.lr, epoch - 1, t.lr_step))
+        self.log.log("epoch_start", epoch=epoch, lr=float(lr))
+
+        paired_until = t.pairnum // t.batch_size
+        timer = StepTimer(warmup=2)
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.sharding import batch_sharding
+            sharding = batch_sharding(self.mesh)
+
+        last_metrics = {}
+        n_imgs = 0
+        for i, (deg, clean, de_id) in enumerate(device_prefetch(
+                self.loader.epoch(epoch, start_step),
+                size=cfg.data.prefetch, sharding=sharding)):
+            step_idx = start_step + i
+            if t.fail_at_step >= 0 and self.host_step >= t.fail_at_step:
+                raise InjectedFailure(f"injected failure at step {self.host_step}")
+            timer.start()
+            degraded, target, k_gp = self._preproc(
+                jnp.int32(self.host_step), clean, deg, de_id)
+            batch = Batch(degraded=degraded, target=target, de_id=de_id)
+            paired = jnp.array(step_idx < paired_until)
+            self.state, metrics = self._iteration(self.state, batch, k_gp,
+                                                  paired, lr)
+            self.host_step += 1
+            if step_idx % t.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = timer.stop(t.batch_size)
+                self.log.log("train_step", epoch=epoch, step=self.host_step,
+                             epoch_step=step_idx, sec_per_step=dt,
+                             imgs_per_sec=t.batch_size / dt if dt else None,
+                             **metrics)
+                last_metrics = metrics
+            else:
+                timer.stop(t.batch_size)
+            n_imgs += t.batch_size
+
+        mean_dt = timer.mean_step_time()
+        self.log.log("epoch_end", epoch=epoch, images=n_imgs,
+                     mean_sec_per_step=mean_dt,
+                     patches_per_sec=(t.batch_size / mean_dt)
+                     if timer.steps_timed else None)
+        return last_metrics
+
+    def evaluate_folder(self, degset: str, tarset: str) -> float:
+        """Per-epoch full-res PSNR over a validation folder
+        (reference: trainer.py:179-227), padded instead of skipped."""
+        from ..data.datasets import eval_pairs, load_rgb
+        from ..metrics.quality import psnr
+
+        restorer = make_restorer(self.state.t_params, self.cfg.model)
+        total, n = 0.0, 0
+        for deg_path, tar_path in eval_pairs(degset, tarset):
+            deg = load_rgb(deg_path).astype(np.float32) / 255.0
+            tar = load_rgb(tar_path).astype(np.float32) / 255.0
+            if deg.shape != tar.shape:
+                continue
+            out = restorer(deg)
+            total += float(psnr(jnp.asarray(out), jnp.asarray(tar), 1.0))
+            n += 1
+        return total / n if n else float("nan")
+
+    def fit(self, *, eval_degset: Optional[str] = None,
+            eval_tarset: Optional[str] = None) -> TrainState:
+        if self.state is None:
+            self.init_state()
+        t = self.cfg.train
+        for epoch in range(self.start_epoch, t.num_epochs + 1):
+            start = self.start_step if epoch == self.start_epoch else 0
+            self.train_epoch(epoch, start)
+            if eval_degset and epoch % t.eval_every == 0:
+                p = self.evaluate_folder(eval_degset, eval_tarset)
+                self.log.log("validation", epoch=epoch, psnr=p,
+                             patch_size=self.cfg.data.patch_size,
+                             batch_size=t.batch_size)
+            if epoch % t.ckpt_every == 0:
+                self.save(epoch + 1)  # resume starts at the NEXT epoch
+        return self.state

@@ -1,0 +1,118 @@
+"""Pytree checkpoint store: atomic, resumable, keep-last-N.
+
+Replaces the reference's whole-module pickles ({"epoch", "Tnet": module,
+"Fnet": module}, reference: trainer.py:362-371) with pure arrays-and-metadata
+checkpoints: the flattened TrainState (both param trees, both optimizer
+states, step/epoch), the data-iterator position, the PRNG key, and the config
+hash — everything needed for step-exact resume (SURVEY.md §5 checkpoint/resume).
+
+Format: a single .npz of flattened key-paths -> arrays plus a JSON metadata
+blob. Writes are atomic (tmp file + os.replace); a `latest` symlink tracks the
+newest checkpoint; older ones beyond keep_n are pruned. Multi-host: only
+process 0 writes (callers gate, helpers here are host-local).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+_META_KEY = "__rcot_meta__"
+_SEP = "/"
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = _SEP.join(_path_str(p) for p in path)
+        flat[name] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
+def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
+                    keep_n: int = 0) -> str:
+    """Atomically write `state` (any pytree) to `path` (.npz appended if absent).
+
+    With keep_n > 0, prunes older checkpoints matching the same prefix pattern
+    `<dir>/<base>_step*.npz` and refreshes `<dir>/latest.npz` (a copy-free
+    symlink).
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(state)
+    meta = dict(metadata or {})
+    meta["treedef"] = None  # structure is rebuilt against a template on load
+    payload = {k: v for k, v in flat.items()}
+    payload[_META_KEY] = np.frombuffer(
+        json.dumps(meta, default=str).encode(), dtype=np.uint8)
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    d = os.path.dirname(path) or "."
+    latest = os.path.join(d, "latest.npz")
+    try:
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.unlink(latest)
+        os.symlink(os.path.basename(path), latest)
+    except OSError:
+        pass
+
+    if keep_n > 0:
+        base = os.path.basename(path).rsplit("_step", 1)[0]
+        siblings = sorted(
+            f for f in os.listdir(d)
+            if f.startswith(base + "_step") and f.endswith(".npz"))
+        for old in siblings[:-keep_n]:
+            os.unlink(os.path.join(d, old))
+    return path
+
+
+def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
+    """Load into the structure of `template` (a pytree with matching leaves).
+
+    Template leaves only need .shape/.dtype — real arrays or
+    jax.ShapeDtypeStruct (use jax.eval_shape to build a template without
+    materializing 77M params). Returns (state, metadata); a shape mismatch
+    raises with the offending key path.
+    """
+    if os.path.islink(path):
+        path = os.path.join(os.path.dirname(path), os.readlink(path))
+    with np.load(path) as z:
+        meta = json.loads(bytes(z[_META_KEY].tobytes()).decode()) if _META_KEY in z else {}
+        flat, _ = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for kpath, want in flat:
+            name = _SEP.join(_path_str(p) for p in kpath)
+            if name not in z:
+                raise KeyError(f"checkpoint missing leaf {name!r}")
+            arr = z[name]
+            if tuple(arr.shape) != tuple(want.shape):
+                raise ValueError(
+                    f"shape mismatch at {name!r}: ckpt {arr.shape} vs template {want.shape}")
+            leaves.append(arr.astype(want.dtype))
+    treedef = jax.tree_util.tree_structure(template)
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, meta

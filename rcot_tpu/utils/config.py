@@ -1,0 +1,207 @@
+"""Typed configuration for the rcot-tpu framework.
+
+Replaces the reference's per-CLI argparse recipes (reference: trainer.py:22-58,
+tester.py:13-31, tester_noise.py:13-40) with frozen dataclasses plus named
+presets mirroring the four README training commands (reference: README.md:99-115).
+CLI entry points overlay flag overrides on top of a preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# Degradation id scheme (reference: util/dataset_utils.py:40).
+DE_DICT: Dict[str, int] = {
+    "denoise_15": 0,
+    "denoise_25": 1,
+    "denoise_50": 2,
+    "derain": 3,
+    "dehaze": 4,
+    "deblur": 5,
+    "lowlight": 6,
+    "single": 7,
+}
+# Collapsed id scheme when noise is one category (reference: util/dataset_utils.py:44).
+DE_DICT_COMBINE: Dict[str, int] = {
+    "denoise_15": 0,
+    "denoise_25": 0,
+    "denoise_50": 0,
+    "derain": 1,
+    "dehaze": 2,
+    "deblur": 3,
+    "lowlight": 4,
+}
+NOISE_SIGMAS: Dict[int, float] = {0: 15.0, 1: 25.0, 2: 50.0}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """RCOT two-pass Restormer transport map (reference: Net_Restormer.py:215-434)."""
+
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Tuple[int, int, int, int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Tuple[int, int, int, int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    bias: bool = False
+    layernorm_type: str = "WithBias"  # or "BiasFree"
+    # decoder=True runs the residual-conditioned second pass. (The reference
+    # also gates the conditioning blocks on this flag, but its decoder=False
+    # path is structurally broken — channel mismatch at up4_3 — so here the
+    # conditioning blocks always run and the flag only controls pass 2.)
+    decoder: bool = True
+    latent_cond_scale: float = 0.8  # latent += scale * reslatent (Net_Restormer.py:401)
+    # Instantiate the reference's defined-but-unused modules so total parameter
+    # count pins to 46,853,150 (reference: Net_Restormer.py:232,237-241,252,
+    # 263,272,287-292 — res_patch_embed, chnl_reduce*, reduce_noise_channel_*,
+    # resdown3_4, resnoise_level3, resreduce_noise_level3 are never called in
+    # forward). Set False to drop the ~1.9M dead parameters.
+    parity_params: bool = True
+
+    @property
+    def dims(self) -> Tuple[int, int, int, int]:
+        d = self.dim
+        return (d, d * 2, d * 4, d * 8)
+
+
+@dataclass(frozen=True)
+class CriticConfig:
+    """OT potential / WGAN critic (reference: Net_Restormer.py:436-522)."""
+
+    patch_size: int = 128
+    in_channels: int = 3
+    # "pooled" head is resolution-agnostic (global average pool before FCs);
+    # "flatten" reproduces the reference's patch-size-bound FC sizing
+    # (num_fea = patch_size**2 / 2, reference: Net_Restormer.py:493-496).
+    head: str = "flatten"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / degradation pipeline (reference: util/dataset_utils.py:27-281)."""
+
+    de_type: Tuple[str, ...] = ("denoise_15", "denoise_25", "denoise_50", "derain", "dehaze")
+    data_file_dir: str = "data_dir/"
+    denoise_dir: str = "data/Train/Denoise/"
+    derain_dir: str = "data/Train/Derain/"
+    dehaze_dir: str = "data/Train/Dehaze/"
+    deblur_dir: str = "data/Train/Deblur/"
+    lowlight_dir: str = "data/Train/Lowlight/"
+    single_dir: str = "data/Train/Single/"
+    patch_size: int = 128
+    crop_base: int = 16  # images pre-cropped to multiples of this (dataset_utils.py:226)
+    noise_combine: bool = False
+    # Oversampling factors (reference: util/dataset_utils.py:89-161).
+    oversample: Dict[str, int] = field(
+        default_factory=lambda: {
+            "denoise": 5, "derain": 360, "deblur": 5, "lowlight": 20, "single": 5,
+        }
+    )
+    num_workers: int = 8
+    prefetch: int = 2  # batches double-buffered onto device
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Minimax training recipe (reference: trainer.py:22-58,119-126,228-243)."""
+
+    batch_size: int = 3
+    num_epochs: int = 51
+    lr: float = 1e-4  # critic LR; transport map uses lr/2 (trainer.py:122-126)
+    lr_step: int = 20  # step decay: lr * 0.1**(epoch//step) (trainer.py:228-231)
+    optimizer: str = "RMSprop"  # or "Adam"
+    pairnum: int = 0  # iterations < pairnum//batch_size get the paired L1 term
+    Sigma: float = 1e4  # paired L1 weight (trainer.py:50)
+    sigma: float = 1.0  # OT transport-cost weight (trainer.py:51)
+    gp_weight: float = 10.0  # gradient-penalty weight (trainer.py:305)
+    seed: int = 0
+    # Loss math: "reference" reproduces the operator-precedence quirks exactly
+    # (SURVEY.md §2.2 #2,#4); "clean" uses the presumably-intended math
+    # (true RMS of the Fourier magnitudes).
+    loss_math: str = "reference"
+    dtype: str = "float32"  # activation dtype: float32 | bfloat16
+    log_every: int = 10
+    eval_every: int = 1  # epochs
+    ckpt_every: int = 1  # epochs
+    ckpt_dir: str = "checkpoint/"
+    ckpt_keep: int = 3
+    run_name: str = "Deraining"
+    fail_at_step: int = -1  # fault injection for recovery tests (-1 = off)
+    data_axis: str = "data"  # mesh axis name for data parallelism
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Inference / evaluation (reference: tester.py:13-31)."""
+
+    degset: str = "./data/test/derain/Rain100L/input/"
+    tarset: str = "./data/test/derain/Rain100L/target/"
+    save: str = "./results/OUT/"
+    savetar: str = "./results/TAR/"
+    saveres: str = "./results/RES/"
+    # Full-res images are padded (reflect) to multiples of 8 and cropped back
+    # — fixes the reference's mod-4 crop vs mod-8 network contract mismatch
+    # (SURVEY.md §2.2 #9; tester.py:77-84).
+    pad_to: int = 8
+    tile: int = 0  # 0 = whole-image; else overlap-tiled inference
+    tile_overlap: int = 32
+    batch_size: int = 1
+    noise_sigma: float = 0.0  # synthetic noise on GT (tester_noise.py:93-99)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    critic: CriticConfig = field(default_factory=CriticConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True, default=str)
+
+    def hash(self) -> str:
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def _recipe(de_type: Tuple[str, ...], run_name: str, **train_overrides) -> Config:
+    train = TrainConfig(
+        batch_size=3, num_epochs=51, pairnum=10_000_000, Sigma=1e4, sigma=1.0,
+        run_name=run_name, **train_overrides,
+    )
+    return Config(
+        data=DataConfig(de_type=de_type, patch_size=128),
+        critic=CriticConfig(patch_size=128),
+        train=train,
+    )
+
+
+# Named presets mirroring the four README commands (reference: README.md:99-115).
+PRESETS: Dict[str, Config] = {
+    "derain": _recipe(("derain",), "Deraining"),
+    "dehaze": _recipe(("dehaze",), "Dehazing"),
+    "denoise_50": _recipe(("denoise_50",), "Denoising"),
+    "single": _recipe(("single",), "single"),
+    # All-in-one multi-degradation training (reference default --de_type).
+    "all_in_one": _recipe(
+        ("denoise_15", "denoise_25", "denoise_50", "derain", "dehaze"), "AllInOne"
+    ),
+}
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]

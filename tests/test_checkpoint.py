@@ -1,0 +1,61 @@
+"""Checkpoint store tests: atomic write, exact round-trip, keep-N, resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcot_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _state(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "t_params": {"w": jax.random.normal(k, (4, 3)), "layers": [
+            {"a": jnp.ones((2,))}, {"a": jnp.zeros((2,))}]},
+        "step": jnp.int32(17),
+        "key": jax.random.PRNGKey(5),
+    }
+
+
+class TestCheckpoint:
+    def test_roundtrip_exact(self, tmp_path):
+        s = _state()
+        path = save_checkpoint(str(tmp_path / "ckpt_step17"), s,
+                               metadata={"epoch": 3})
+        loaded, meta = load_checkpoint(path, jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), s))
+        assert meta["epoch"] == 3
+        for a, b in zip(jax.tree_util.tree_leaves(s),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_symlink(self, tmp_path):
+        save_checkpoint(str(tmp_path / "run_step1"), _state(1))
+        save_checkpoint(str(tmp_path / "run_step2"), _state(2))
+        latest = tmp_path / "latest.npz"
+        assert latest.is_symlink()
+        loaded, _ = load_checkpoint(str(latest), _state(0))
+        want = jax.tree_util.tree_leaves(_state(2))
+        got = jax.tree_util.tree_leaves(loaded)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_keep_n_prunes(self, tmp_path):
+        for i in range(5):
+            save_checkpoint(str(tmp_path / f"run_step{i}"), _state(i), keep_n=2)
+        files = sorted(f for f in os.listdir(tmp_path)
+                       if f.startswith("run_step"))
+        assert len(files) == 2
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        path = save_checkpoint(str(tmp_path / "c"), {"w": jnp.ones((2, 2))})
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_checkpoint(path, {"w": jnp.ones((3, 3))})
+
+    def test_missing_leaf_raises(self, tmp_path):
+        path = save_checkpoint(str(tmp_path / "c"), {"w": jnp.ones((2,))})
+        with pytest.raises(KeyError):
+            load_checkpoint(path, {"w": jnp.ones((2,)), "extra": jnp.ones((1,))})

@@ -1,0 +1,114 @@
+"""Model tests: parameter pins, shape contracts, two-pass structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcot_tpu.models.critic import apply_fnet, init_fnet
+from rcot_tpu.models.restormer import apply_tnet, count_params, init_tnet
+from rcot_tpu.utils.config import CriticConfig, ModelConfig
+
+
+class TestParamPins:
+    def test_tnet_pin(self):
+        """Exact parity with the reference's measured 46,853,150 params
+        (SURVEY.md §6; instantiated from Net_Restormer.py:215-326)."""
+        p = init_tnet(jax.random.PRNGKey(0), ModelConfig())
+        assert count_params(p) == 46_853_150
+
+    def test_fnet_pin_patch128(self):
+        """Reference F_net at patch 128: 30,588,609 params
+        (Net_Restormer.py:436-506)."""
+        p = init_fnet(jax.random.PRNGKey(0), CriticConfig(patch_size=128))
+        assert count_params(p) == 30_588_609
+
+    def test_parity_params_flag_drops_dead_weight(self):
+        full = count_params(init_tnet(jax.random.PRNGKey(0), ModelConfig()))
+        lean = count_params(init_tnet(
+            jax.random.PRNGKey(0), ModelConfig(parity_params=False)))
+        assert lean < full
+
+
+class TestTnetForward:
+    def test_output_shapes(self, tiny_model_cfg):
+        p = init_tnet(jax.random.PRNGKey(0), tiny_model_cfg)
+        x = jnp.ones((2, 32, 32, 3))
+        out2, out1, res = apply_tnet(p, x, tiny_model_cfg)
+        assert out2.shape == out1.shape == res.shape == x.shape
+
+    def test_mod8_contract(self, tiny_model_cfg):
+        """H,W % 8 == 0 works; 40x24 is a valid non-square mod-8 shape."""
+        p = init_tnet(jax.random.PRNGKey(0), tiny_model_cfg)
+        out2, _, _ = apply_tnet(p, jnp.ones((1, 40, 24, 3)), tiny_model_cfg)
+        assert out2.shape == (1, 40, 24, 3)
+
+    def test_residual_identity(self, tiny_model_cfg):
+        """res == inp - out1 by construction (Net_Restormer.py:377)."""
+        p = init_tnet(jax.random.PRNGKey(1), tiny_model_cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        _, out1, res = apply_tnet(p, x, tiny_model_cfg)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(x - out1),
+                                   atol=1e-6)
+
+    def test_two_pass_differs_from_single(self, tiny_model_cfg):
+        p = init_tnet(jax.random.PRNGKey(1), tiny_model_cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        out2, out1, _ = apply_tnet(p, x, tiny_model_cfg)
+        assert not np.allclose(np.asarray(out2), np.asarray(out1))
+
+    def test_decoder_false_single_pass(self):
+        cfg = ModelConfig(dim=8, num_blocks=(1, 1, 1, 1),
+                          num_refinement_blocks=1, decoder=False,
+                          parity_params=False)
+        p = init_tnet(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        out2, out1, _ = apply_tnet(p, x, cfg)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(out1))
+
+    def test_jit_consistency(self, tiny_model_cfg):
+        p = init_tnet(jax.random.PRNGKey(3), tiny_model_cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 32, 3))
+        eager = apply_tnet(p, x, tiny_model_cfg)[0]
+        jitted = jax.jit(lambda p, x: apply_tnet(p, x, tiny_model_cfg))(p, x)[0]
+        np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
+                                   atol=1e-5)
+
+    def test_unused_parity_params_get_zero_grads(self):
+        cfg = ModelConfig(dim=8, num_blocks=(1, 1, 1, 1),
+                          num_refinement_blocks=1, parity_params=True)
+        p = init_tnet(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+        g = jax.grad(lambda p: jnp.sum(apply_tnet(p, x, cfg)[0]))(p)
+        unused_leaves = jax.tree_util.tree_leaves(g["unused"])
+        assert all(float(jnp.abs(l).max()) == 0.0 for l in unused_leaves)
+        used = jax.tree_util.tree_leaves(g["output"])
+        assert any(float(jnp.abs(l).max()) > 0.0 for l in used)
+
+
+class TestCritic:
+    def test_scalar_per_image(self):
+        cfg = CriticConfig(patch_size=32)
+        p = init_fnet(jax.random.PRNGKey(0), cfg)
+        y = apply_fnet(p, jnp.ones((3, 32, 32, 3)), cfg)
+        assert y.shape == (3,)
+
+    def test_flatten_head_is_patch_bound(self):
+        cfg = CriticConfig(patch_size=32)
+        p = init_fnet(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(Exception):
+            apply_fnet(p, jnp.ones((1, 64, 64, 3)), cfg)
+
+    def test_pooled_head_is_resolution_agnostic(self):
+        cfg = CriticConfig(patch_size=32, head="pooled")
+        p = init_fnet(jax.random.PRNGKey(0), cfg)
+        y32 = apply_fnet(p, jnp.ones((1, 32, 32, 3)), cfg)
+        y64 = apply_fnet(p, jnp.ones((1, 64, 64, 3)), cfg)
+        assert y32.shape == y64.shape == (1,)
+
+    def test_fc_sizing_formula(self):
+        """num_fea = patch^2/2 = 512*(patch/32)^2 (Net_Restormer.py:493-496)."""
+        for patch in (64, 128):
+            cfg = CriticConfig(patch_size=patch)
+            p = init_fnet(jax.random.PRNGKey(0), cfg)
+            assert p["fc"]["w"].shape[0] == patch * patch // 2
