@@ -51,21 +51,21 @@ def main():
     paired = jnp.array(True)
     lr = jnp.float32(1e-4)
 
-    step = jax.jit(make_train_iteration(cfg), donate_argnums=(0,))
+    # AOT compile ONCE; reuse the compiled object for cost analysis + timing.
+    step = jax.jit(make_train_iteration(cfg), donate_argnums=(0,)).lower(
+        state, batch, key, paired, lr).compile()
 
     # FLOPs of one iteration from XLA's cost model (for the A100 estimate).
     flops = None
     try:
-        lowered = jax.jit(make_train_iteration(cfg)).lower(
-            state, batch, key, paired, lr)
-        cost = lowered.compile().cost_analysis()
+        cost = step.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
 
-    # warmup (compile + 2 steps)
+    # warmup
     for _ in range(3):
         state, metrics = step(state, batch, key, paired, lr)
     jax.block_until_ready(state)

@@ -1,0 +1,147 @@
+"""rcot-test: folder inference + metrics CLI.
+
+Mirrors the reference tester (reference: tester.py:13-124): restore a folder
+of degraded images with a trained checkpoint, save residual/output/target
+PNGs, then report FID and folder PSNR/SSIM. Differences (all fixes):
+- images are reflect-padded to the network's mod-8 contract and cropped back
+  instead of cropped to mod-4 (SURVEY.md §2.2 #9);
+- shapes are bucketed so a folder of arbitrary sizes compiles a handful of
+  XLA programs instead of one per size;
+- optional --noise-sigma synthesizes noise on the target like tester_noise.py
+  (reference: tester_noise.py:93-99), drawn from a seeded numpy RNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rcot-tpu tester")
+    p.add_argument("--ckpt", required=True, help=".npz checkpoint (or reference .pth)")
+    p.add_argument("--degset", required=True, help="degraded image folder")
+    p.add_argument("--tarset", required=True, help="target image folder")
+    p.add_argument("--save", default="./results/OUT/")
+    p.add_argument("--savetar", default="./results/TAR/")
+    p.add_argument("--saveres", default="./results/RES/")
+    p.add_argument("--tile", type=int, default=0,
+                   help="overlap-tiled inference tile size (0 = whole image)")
+    p.add_argument("--tile-overlap", type=int, default=32)
+    p.add_argument("--noise-sigma", type=float, default=0.0,
+                   help="synthesize gaussian noise on the GT (tester_noise mode)")
+    p.add_argument("--seed", type=int, default=1850)  # tester_noise.py:12
+    p.add_argument("--fid", action="store_true", help="also compute FID")
+    p.add_argument("--inception-weights", default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    return p
+
+
+def save_png(path: str, img01: np.ndarray) -> None:
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def load_t_params(path: str, model_cfg):
+    """Load T params from our npz (using the checkpoint's own stored config
+    to shape the template) or from a reference .pth."""
+    if path.endswith(".pth"):
+        from ..compat.torch_port import load_reference_checkpoint
+        from ..utils.config import CriticConfig
+        t_params, _, _ = load_reference_checkpoint(path, model_cfg, CriticConfig())
+        return t_params, model_cfg
+    import dataclasses
+
+    import jax
+
+    from ..train.steps import create_train_state
+    from ..utils.checkpoint import load_checkpoint, read_metadata
+    from ..utils.config import Config, CriticConfig, TrainConfig
+
+    meta_cfg = read_metadata(path).get("config", {})
+    if meta_cfg.get("model"):
+        from ..utils.config import ModelConfig
+        model_cfg = ModelConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in meta_cfg["model"].items()
+            if k in {f.name for f in dataclasses.fields(ModelConfig)}})
+    critic = CriticConfig(**{
+        k: v for k, v in meta_cfg.get("critic", {}).items()
+        if k in {f.name for f in dataclasses.fields(CriticConfig)}})
+    train = TrainConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in meta_cfg.get("train", {}).items()
+        if k in {f.name for f in dataclasses.fields(TrainConfig)}})
+    cfg = Config(model=model_cfg, critic=critic, train=train)
+    template = jax.eval_shape(
+        lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
+    state, _ = load_checkpoint(path, template)
+    return state.t_params, model_cfg
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..data.datasets import eval_pairs, load_rgb
+    from ..metrics.quality import AverageMeter, psnr, ssim_ref_single
+    from ..models.inference import make_restorer
+    from ..utils.compilation_cache import enable_compilation_cache
+    from ..utils.config import ModelConfig
+
+    enable_compilation_cache()
+    params, model_cfg = load_t_params(args.ckpt, ModelConfig())
+    restorer = make_restorer(
+        params, model_cfg, tile=args.tile, tile_overlap=args.tile_overlap,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+
+    rng = np.random.default_rng(args.seed)
+    p_meter, s_meter = AverageMeter(), AverageMeter()
+    best = (-1.0, None)
+    worst = (1e9, None)
+    for deg_path, tar_path in eval_pairs(args.degset, args.tarset):
+        name = os.path.basename(deg_path)
+        deg = load_rgb(deg_path).astype(np.float32) / 255.0
+        tar = load_rgb(tar_path).astype(np.float32) / 255.0
+        if deg.shape != tar.shape:
+            print(f"skip {name}: shape mismatch {deg.shape} vs {tar.shape}")
+            continue
+        if args.noise_sigma > 0:
+            noise = rng.standard_normal(tar.shape) * args.noise_sigma / 255.0
+            deg = np.clip(tar + noise, 0.0, 1.0).astype(np.float32)
+
+        out = restorer(deg)
+        res = deg - out
+        save_png(os.path.join(args.saveres, name), 2.0 * res)
+        save_png(os.path.join(args.save, name), out)
+        save_png(os.path.join(args.savetar, name), tar)
+
+        p = float(psnr(jnp.asarray(out), jnp.asarray(tar), 1.0))
+        s = float(ssim_ref_single(jnp.asarray(out) * 255.0,
+                                  jnp.asarray(tar) * 255.0))
+        p_meter.update(p)
+        s_meter.update(s)
+        if p > best[0]:
+            best = (p, name)
+        if p < worst[0]:
+            worst = (p, name)
+        print(f"{name}: psnr {p:.4f} ssim {s:.4f}")
+
+    print(f"PSNR: average {p_meter.avg:.5f}  best {best[1]} {best[0]:.4f}  "
+          f"worst {worst[1]} {worst[0]:.4f}")
+    print(f"SSIM: average {s_meter.avg:.5f}")
+
+    if args.fid:
+        from .fid import compute_fid_folders
+        fid = compute_fid_folders(args.savetar, args.save,
+                                  weights=args.inception_weights)
+        print(f"FID value: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

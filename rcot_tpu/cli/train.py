@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-file", default=None)
     p.add_argument("--mesh-data", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--profile-dir", default=None,
+                   help="jax.profiler trace dir (traces steps 3-8 of epoch 1)")
+    # multi-host (jax.distributed); single-process runs leave these unset
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -80,6 +87,9 @@ def main(argv=None) -> None:
     from ..utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
 
+    from ..parallel.sharding import initialize_distributed
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+
     from ..train.trainer import Trainer
 
     mesh = None
@@ -99,7 +109,8 @@ def main(argv=None) -> None:
             args.pretrained, cfg.model, cfg.critic)
         trainer.state = trainer.state._replace(
             t_params=t_params, f_params=f_params)
-    trainer.fit(eval_degset=args.degset, eval_tarset=args.tarset)
+    trainer.fit(eval_degset=args.degset, eval_tarset=args.tarset,
+                profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,14 @@ def list_image_folder(path: str) -> List[str]:
 def eval_pairs(degset: str, tarset: str) -> List[Tuple[str, str]]:
     """Sorted-glob pairing of degraded/target folders (reference: tester.py:55-58)."""
     return list(zip(list_image_folder(degset), list_image_folder(tarset)))
+
+
+def collapse_de_id(de_id):
+    """noise_combine label collapse (reference: util/dataset_utils.py:267-277):
+    all denoise ids -> 0, others shift down by 2 ({0,1,2}->0, 3->1, 4->2,
+    5->3, 6->4). Works on ints or arrays. NOTE: the trainer's loss branches on
+    the CANONICAL ids (de_id < 3 == noise, trainer.py:329), so batches always
+    carry canonical ids; this mapping is for prompt-style harnesses."""
+    import numpy as _np
+    collapsed = _np.asarray(de_id) - 2
+    return _np.maximum(collapsed, 0) if hasattr(collapsed, "shape") else max(collapsed, 0)

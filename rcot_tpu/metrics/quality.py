@@ -129,6 +129,54 @@ def ssim_skimage_single(img1: jax.Array, img2: jax.Array,
     return jnp.mean(jnp.stack(vals))
 
 
+def compute_psnr_ssim(recovered: jax.Array, clean: jax.Array,
+                      data_range: float = 1.0):
+    """Batch PSNR/SSIM means (reference: util/val_utils.py:50-66 — skimage
+    semantics per-sample, averaged). Inputs: (B, H, W, C) in [0, data_range].
+    Returns (psnr_mean, ssim_mean, n)."""
+    b = recovered.shape[0]
+    ps = jnp.stack([psnr(recovered[i], clean[i], data_range) for i in range(b)])
+    ss = jnp.stack([ssim_skimage_single(recovered[i], clean[i], data_range)
+                    for i in range(b)])
+    return jnp.mean(ps), jnp.mean(ss), b
+
+
+def niqe(img: jax.Array) -> float:
+    """No-reference NIQE (reference: util/val_utils.py:69-74 wraps
+    skvideo.measure.niqe, a dependency this environment does not ship and the
+    reference main path never calls). Kept as an explicit unsupported stub."""
+    raise NotImplementedError(
+        "NIQE requires skvideo (unavailable); the reference main path never "
+        "uses it (util/val_utils.py:69-74 is dead code)")
+
+
+class Timer:
+    """Cumulative wall-clock timer (reference: util/val_utils.py:76-97)."""
+
+    def __init__(self):
+        import time as _time
+        self._time = _time
+        self.acc = 0.0
+        self.t0 = _time.time()
+
+    def tic(self) -> None:
+        self.t0 = self._time.time()
+
+    def toc(self, restart: bool = False) -> float:
+        diff = self._time.time() - self.t0
+        if restart:
+            self.t0 = self._time.time()
+        return diff
+
+    def hold(self) -> None:
+        self.acc += self.toc()
+
+    def release(self) -> float:
+        ret = self.acc
+        self.acc = 0.0
+        return ret
+
+
 class AverageMeter:
     """Running mean tracker (reference: util/val_utils.py:8-26)."""
 

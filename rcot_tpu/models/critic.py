@@ -56,8 +56,9 @@ def init_fnet(key, cfg: CriticConfig, dtype=jnp.float32) -> Dict:
     p: Dict = {"convs": convs}
     if cfg.head == "flatten":
         num_fea = cfg.patch_size * cfg.patch_size // 2
-        p["fc"] = init_linear(next(ks), num_fea, num_fea // 4, dtype=dtype)
-        p["fc1"] = init_linear(next(ks), num_fea // 4, 64, dtype=dtype)
+        mid = cfg.fc_mid if cfg.fc_mid is not None else num_fea // 4
+        p["fc"] = init_linear(next(ks), num_fea, mid, dtype=dtype)
+        p["fc1"] = init_linear(next(ks), mid, 64, dtype=dtype)
     elif cfg.head == "pooled":
         p["fc"] = init_linear(next(ks), 512, 128, dtype=dtype)
         p["fc1"] = init_linear(next(ks), 128, 64, dtype=dtype)

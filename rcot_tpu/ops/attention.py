@@ -55,6 +55,8 @@ def mdta_attend(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     """x: (B, H, W, C) -> (B, H, W, C)."""
+    from . import dispatch
+
     b, h, w, c = x.shape
     ch = c // num_heads
 
@@ -63,7 +65,13 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     # reference's 'b (head c) h w -> b head c (h w)' split.
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
     qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
-    out = mdta_attend(qkv[0], qkv[1], qkv[2], p["temperature"])
+    temp = jnp.asarray(p["temperature"])
+    if dispatch.pallas_enabled():
+        from .pallas_mdta import mdta_attend_pallas
+        out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
+                                 dispatch.pallas_interpret())
+    else:
+        out = mdta_attend(qkv[0], qkv[1], qkv[2], temp)
 
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
     return conv2d(p["proj"], out)

@@ -1,0 +1,28 @@
+"""Kernel dispatch: choose between Pallas fast paths and jnp reference twins.
+
+Env switches:
+- RCOT_PALLAS=0|1     force off/on (default: on only on TPU backends)
+- RCOT_PALLAS_INTERPRET=1  run Pallas kernels in interpreter mode (tests set
+  this so kernels are exercised on the CPU backend)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_enabled() -> bool:
+    env = os.environ.get("RCOT_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def pallas_interpret() -> bool:
+    return os.environ.get("RCOT_PALLAS_INTERPRET", "") not in ("", "0")

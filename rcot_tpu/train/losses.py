@@ -46,6 +46,34 @@ def wgan_critic_loss(score_real: jax.Array, score_fake: jax.Array) -> jax.Array:
     return -jnp.mean(score_real) + jnp.mean(score_fake)
 
 
+def gan_loss(scores: jax.Array, target_is_real: bool,
+             mode: str = "lsgan") -> jax.Array:
+    """GAN losses from the reference's (unused-by-main-path) GANLoss helper
+    (reference: util/loss_utils.py:6-45): 'lsgan' = MSE to 1/0 labels,
+    'vanilla' = BCE-with-logits, 'wgan' = +/- mean score."""
+    if mode == "lsgan":
+        target = jnp.ones_like(scores) if target_is_real else jnp.zeros_like(scores)
+        return jnp.mean(jnp.square(scores - target))
+    if mode == "vanilla":
+        target = jnp.ones_like(scores) if target_is_real else jnp.zeros_like(scores)
+        return jnp.mean(jnp.maximum(scores, 0) - scores * target
+                        + jnp.log1p(jnp.exp(-jnp.abs(scores))))
+    if mode == "wgan":
+        return -jnp.mean(scores) if target_is_real else jnp.mean(scores)
+    raise ValueError(f"unknown gan loss mode {mode!r}")
+
+
+def tv_loss(x: jax.Array, weight: float = 1.0) -> jax.Array:
+    """Total-variation regularizer (reference: utils.py:59-72, unused by the
+    main path): mean squared forward differences, h + w, NHWC."""
+    b, h, w, _ = x.shape
+    dh = jnp.sum(jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]))
+    dw = jnp.sum(jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]))
+    count_h = (h - 1) * w
+    count_w = h * (w - 1)
+    return weight * 2.0 * (dh / count_h + dw / count_w) / b
+
+
 def gradient_penalty(critic_fn: Callable[[jax.Array], jax.Array],
                      real: jax.Array, fake: jax.Array, key: jax.Array,
                      weight: float = 10.0) -> jax.Array:

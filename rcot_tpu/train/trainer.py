@@ -108,7 +108,8 @@ class Trainer:
 
     # ------------------------------------------------------------ loop
 
-    def train_epoch(self, epoch: int, start_step: int = 0) -> dict:
+    def train_epoch(self, epoch: int, start_step: int = 0,
+                    profile_dir: Optional[str] = None) -> dict:
         cfg = self.cfg
         t = cfg.train
         # reference passes epoch-1 into the decay (trainer.py:235).
@@ -122,14 +123,26 @@ class Trainer:
             from ..parallel.sharding import batch_sharding
             sharding = batch_sharding(self.mesh)
 
+        from ..utils.logging import profile_trace
+
         last_metrics = {}
         n_imgs = 0
+        profiling = False
         for i, (deg, clean, de_id) in enumerate(device_prefetch(
                 self.loader.epoch(epoch, start_step),
                 size=cfg.data.prefetch, sharding=sharding)):
             step_idx = start_step + i
             if t.fail_at_step >= 0 and self.host_step >= t.fail_at_step:
                 raise InjectedFailure(f"injected failure at step {self.host_step}")
+            # profiler window: steps [3, 8) of the epoch, post-compile
+            if profile_dir and step_idx == 3 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and step_idx == 8:
+                jax.block_until_ready(self.state)
+                jax.profiler.stop_trace()
+                profiling = False
+                self.log.log("profile_trace", dir=profile_dir)
             timer.start()
             degraded, target, k_gp = self._preproc(
                 jnp.int32(self.host_step), clean, deg, de_id)
@@ -138,6 +151,8 @@ class Trainer:
             self.state, metrics = self._iteration(self.state, batch, k_gp,
                                                   paired, lr)
             self.host_step += 1
+            if t.ckpt_every_steps and (step_idx + 1) % t.ckpt_every_steps == 0:
+                self.save(epoch, epoch_step=step_idx + 1)
             if step_idx % t.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = timer.stop(t.batch_size)
@@ -155,6 +170,21 @@ class Trainer:
                      mean_sec_per_step=mean_dt,
                      patches_per_sec=(t.batch_size / mean_dt)
                      if timer.steps_timed else None)
+
+        if t.sample_every and epoch % t.sample_every == 0:
+            # visual smoke artifacts on the LAST batch (reference dumps
+            # output/degraded/target/res, trainer.py:355-358)
+            from ..models.restormer import apply_tnet
+            from ..utils.image_io import save_sample_grid
+            out, _, res = jax.jit(
+                lambda p, x: apply_tnet(p, x, cfg.model))(
+                    self.state.t_params, batch.degraded)
+            save_sample_grid(
+                os.path.join(t.sample_dir, t.run_name), f"epoch{epoch}",
+                output=np.asarray(out, np.float32),
+                degraded=np.asarray(batch.degraded, np.float32),
+                target=np.asarray(batch.target, np.float32),
+                res=2.0 * np.asarray(res, np.float32))
         return last_metrics
 
     def evaluate_folder(self, degset: str, tarset: str) -> float:
@@ -176,13 +206,15 @@ class Trainer:
         return total / n if n else float("nan")
 
     def fit(self, *, eval_degset: Optional[str] = None,
-            eval_tarset: Optional[str] = None) -> TrainState:
+            eval_tarset: Optional[str] = None,
+            profile_dir: Optional[str] = None) -> TrainState:
         if self.state is None:
             self.init_state()
         t = self.cfg.train
         for epoch in range(self.start_epoch, t.num_epochs + 1):
             start = self.start_step if epoch == self.start_epoch else 0
-            self.train_epoch(epoch, start)
+            self.train_epoch(epoch, start,
+                             profile_dir if epoch == self.start_epoch else None)
             if eval_degset and epoch % t.eval_every == 0:
                 p = self.evaluate_folder(eval_degset, eval_tarset)
                 self.log.log("validation", epoch=epoch, psnr=p,

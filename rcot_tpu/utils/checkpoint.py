@@ -90,6 +90,16 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
     return path
 
 
+def read_metadata(path: str) -> Dict:
+    """Read just the JSON metadata blob (config, epoch, ...) from a checkpoint."""
+    if os.path.islink(path):
+        path = os.path.join(os.path.dirname(path), os.readlink(path))
+    with np.load(path) as z:
+        if _META_KEY not in z:
+            return {}
+        return json.loads(bytes(z[_META_KEY].tobytes()).decode())
+
+
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     """Load into the structure of `template` (a pytree with matching leaves).
 

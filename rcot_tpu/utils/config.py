@@ -80,6 +80,9 @@ class CriticConfig:
     # "flatten" reproduces the reference's patch-size-bound FC sizing
     # (num_fea = patch_size**2 / 2, reference: Net_Restormer.py:493-496).
     head: str = "flatten"
+    # fc mid width; None = num_fea // 4 (Net_Restormer.py:494). The legacy
+    # critic fixes it at 2048 (Net.py:275: fc = Linear(512*8*8, 2048)).
+    fc_mid: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -129,11 +132,17 @@ class TrainConfig:
     log_every: int = 10
     eval_every: int = 1  # epochs
     ckpt_every: int = 1  # epochs
+    ckpt_every_steps: int = 0  # mid-epoch checkpoints for step-exact recovery (0=off)
     ckpt_dir: str = "checkpoint/"
     ckpt_keep: int = 3
     run_name: str = "Deraining"
     fail_at_step: int = -1  # fault injection for recovery tests (-1 = off)
     data_axis: str = "data"  # mesh axis name for data parallelism
+    # Dump output/degraded/target/res sample grids every N epochs into
+    # checksample/<run_name>/ (reference does this every 10 ITERATIONS from
+    # inside the hot loop, trainer.py:355-358 — ours is off the hot path).
+    sample_every: int = 0  # 0 = off
+    sample_dir: str = "checksample/"
 
 
 @dataclass(frozen=True)
@@ -198,6 +207,9 @@ PRESETS: Dict[str, Config] = {
     "all_in_one": _recipe(
         ("denoise_15", "denoise_25", "denoise_50", "derain", "dehaze"), "AllInOne"
     ),
+    # SRx4: 'single'-type training on bicubic-degraded HR patches
+    # (BASELINE.json config #5; data/sr.py synthesizes the LR inputs).
+    "sr_x4": _recipe(("single",), "SRx4"),
 }
 
 

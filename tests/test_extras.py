@@ -1,0 +1,189 @@
+"""Tests for the auxiliary components: imresize, schedulers, GAN/TV losses,
+eval datasets, val-utils metrics."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcot_tpu.data.imresize import imresize, np_imresize
+from rcot_tpu.train import schedulers as sched
+from rcot_tpu.train.losses import gan_loss, tv_loss
+
+
+class TestImresize:
+    def test_downscale_shapes(self, rng):
+        img = rng.uniform(size=(37, 53, 3))
+        out = imresize(img, scale=0.5)
+        assert out.shape == (19, 27, 3)
+
+    def test_upscale_x4(self, rng):
+        img = rng.uniform(size=(16, 16, 3))
+        assert imresize(img, scale=4.0).shape == (64, 64, 3)
+
+    def test_box_downscale_is_block_mean(self):
+        """Box kernel at exact 0.5 averages 2x2 blocks (interior)."""
+        img = np.arange(64, dtype=np.float64).reshape(8, 8, 1)
+        out = imresize(img, scale=0.5, kernel="box")
+        blocks = img.reshape(4, 2, 4, 2, 1).mean(axis=(1, 3))
+        np.testing.assert_allclose(out, blocks, atol=1e-9)
+
+    def test_uint8_roundtrip(self, rng):
+        img = (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8)
+        out = imresize(img, scale=2.0)
+        assert out.dtype == np.uint8
+
+    def test_grayscale(self, rng):
+        img = rng.uniform(size=(16, 16))
+        assert imresize(img, scale=0.5).shape == (8, 8)
+
+    def test_identity_scale_one(self, rng):
+        img = rng.uniform(size=(9, 9, 3))
+        np.testing.assert_allclose(imresize(img, scale=1.0), img, atol=1e-12)
+
+    def test_output_shape_arg(self, rng):
+        img = rng.uniform(size=(20, 30, 3))
+        assert np_imresize(img, output_shape=(10, 10)).shape == (10, 10, 3)
+
+
+class TestSchedulers:
+    def test_multistep_restart(self):
+        fn = sched.multistep_restart([10, 20], gamma=0.1)
+        assert fn(0) == 1.0
+        assert fn(10) == pytest.approx(0.1)
+        assert fn(25) == pytest.approx(0.01)
+
+    def test_linear(self):
+        fn = sched.linear(100)
+        assert fn(0) == 1.0
+        assert fn(50) == pytest.approx(0.5)
+        assert fn(100) == 0.0
+
+    def test_cosine_annealing_restart(self):
+        fn = sched.cosine_annealing_restart([10, 10], (1.0, 0.5), base_lr=1.0)
+        assert fn(0) == pytest.approx(1.0)
+        assert fn(5) == pytest.approx(0.5)  # cos(pi/2) midpoint
+        assert fn(10) == pytest.approx(0.5 * 0.5 * 2)  # restart at weight 0.5
+
+    def test_cyclic_eta_mins(self):
+        fn = sched.cosine_annealing_restart_cyclic(
+            [10, 10], (1.0, 1.0), eta_mins=(0.0, 0.1), base_lr=1.0)
+        assert fn(0) == pytest.approx(1.0)
+        assert fn(10) == pytest.approx(0.1 + 0.5 * 0.9 * 2)
+
+    def test_warmup_cosine(self):
+        fn = sched.linear_warmup_cosine(5, 20, warmup_start_lr=0.0, base_lr=1.0)
+        assert fn(0) == 0.0
+        assert fn(4) == pytest.approx(1.0)
+        assert fn(20) == pytest.approx(0.0, abs=1e-9)
+
+    def test_vibrate_bounds(self):
+        fn = sched.vibrate(1000)
+        vals = [fn(s) for s in range(0, 1000, 37)]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+class TestAuxLosses:
+    def test_lsgan(self):
+        s = jnp.array([0.5, 1.5])
+        assert float(gan_loss(s, True, "lsgan")) == pytest.approx(
+            np.mean((np.array([0.5, 1.5]) - 1) ** 2))
+
+    def test_vanilla_matches_bce_logits(self):
+        torch = pytest.importorskip("torch")
+        s = np.array([0.3, -0.7, 2.0], np.float32)
+        got = float(gan_loss(jnp.asarray(s), True, "vanilla"))
+        want = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(s), torch.ones(3)).item()
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_wgan_sign(self):
+        s = jnp.array([1.0, 3.0])
+        assert float(gan_loss(s, True, "wgan")) == -2.0
+        assert float(gan_loss(s, False, "wgan")) == 2.0
+
+    def test_tv_loss_matches_torch_reference_math(self, rng):
+        """reference utils.py:59-72 math on NCHW; ours on NHWC."""
+        x = rng.uniform(size=(2, 6, 5, 3)).astype(np.float32)
+        got = float(tv_loss(jnp.asarray(x), weight=2.0))
+        b, h, w, c = x.shape
+        dh = np.sum((x[:, 1:] - x[:, :-1]) ** 2)
+        dw = np.sum((x[:, :, 1:] - x[:, :, :-1]) ** 2)
+        want = 2.0 * 2.0 * (dh / ((h - 1) * w) + dw / (h * (w - 1))) / b
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestEvalDatasets:
+    @pytest.fixture(scope="class")
+    def tree(self, tmp_path_factory):
+        from PIL import Image
+        root = tmp_path_factory.mktemp("eval")
+        rng = np.random.default_rng(0)
+
+        def w(path, h=48, wd=48):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            Image.fromarray(rng.integers(0, 255, (h, wd, 3), dtype=np.uint8)).save(path)
+
+        w(f"{root}/denoise/a.png")
+        w(f"{root}/derain/input/1_rain.png")
+        w(f"{root}/derain/target/1_norain.png")
+        w(f"{root}/dehaze/input/0001_0.9.png")
+        w(f"{root}/dehaze/target/0001.png")
+        w(f"{root}/gopro/test/blur/x.png")
+        w(f"{root}/gopro/test/sharp/x.png")
+        w(f"{root}/lol/low/y.png")
+        w(f"{root}/lol/high/y.png")
+        return str(root)
+
+    def test_denoise(self, tree):
+        from rcot_tpu.data.eval_datasets import DenoiseTestDataset
+        ds = DenoiseTestDataset(f"{tree}/denoise/", sigma=25)
+        name, noisy, clean = ds[0]
+        assert name == "a"
+        assert noisy.shape == clean.shape == (48, 48, 3)
+        assert not np.array_equal(noisy, clean)
+        ds.set_sigma(50)
+        assert ds.sigma == 50
+
+    def test_derain_dehaze_paths(self, tree):
+        from rcot_tpu.data.eval_datasets import DerainDehazeDataset
+        ds = DerainDehazeDataset(f"{tree}/derain/", f"{tree}/dehaze/", "derain")
+        name, deg, clean = ds[0]
+        assert len(ds) == 1 and deg.shape == clean.shape
+        ds.set_dataset("dehaze")
+        name, deg, clean = ds[0]
+        assert deg.shape == clean.shape
+
+    def test_deblur_lowlight(self, tree):
+        from rcot_tpu.data.eval_datasets import (DeblurTestDataset,
+                                                 LowLightTestDataset)
+        d = DeblurTestDataset(f"{tree}/gopro/")
+        assert len(d) == 1 and d[0][1].shape == (48, 48, 3)
+        l = LowLightTestDataset(f"{tree}/lol/")
+        assert len(l) == 1 and l[0][2].shape == (48, 48, 3)
+
+
+class TestValUtils:
+    def test_compute_psnr_ssim(self, rng):
+        from rcot_tpu.metrics.quality import compute_psnr_ssim
+        a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+        noise = rng.normal(0, 0.05, (2, 32, 32, 3)).astype(np.float32)
+        b = jnp.clip(a + noise, 0, 1)
+        p, s, n = compute_psnr_ssim(b, a)
+        assert n == 2
+        assert 20 < float(p) < 40
+        assert 0.5 < float(s) < 1.0
+
+    def test_niqe_stub_raises(self):
+        from rcot_tpu.metrics.quality import niqe
+        with pytest.raises(NotImplementedError):
+            niqe(jnp.ones((8, 8)))
+
+    def test_timer(self):
+        from rcot_tpu.metrics.quality import Timer
+        t = Timer()
+        t.tic()
+        t.hold()
+        assert t.release() >= 0.0
+        assert t.acc == 0.0

@@ -1,0 +1,88 @@
+"""Trainer integration tests (CPU, tiny config): fit loop, fault injection,
+step-exact recovery, sample dumps."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from rcot_tpu.train.trainer import InjectedFailure, Trainer
+from rcot_tpu.utils.config import (Config, CriticConfig, DataConfig,
+                                   ModelConfig, TrainConfig)
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tr")
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{root}/Derain/rainy", exist_ok=True)
+    os.makedirs(f"{root}/Derain/gt", exist_ok=True)
+    os.makedirs(f"{root}/manifests/rainy", exist_ok=True)
+    clean = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    rain = np.clip(clean.astype(int) + rng.integers(0, 60, clean.shape),
+                   0, 255).astype(np.uint8)
+    Image.fromarray(rain).save(f"{root}/Derain/rainy/rain-0.png")
+    Image.fromarray(clean).save(f"{root}/Derain/gt/norain-0.png")
+    with open(f"{root}/manifests/rainy/rainTrain.txt", "w") as f:
+        f.write("rainy/rain-0.png\n")
+    return str(root)
+
+
+def make_cfg(data_tree, tmp_path, **train_overrides):
+    defaults = dict(batch_size=2, num_epochs=1, log_every=1,
+                    ckpt_dir=str(tmp_path / "ckpt"), run_name="T")
+    defaults.update(train_overrides)
+    return Config(
+        model=ModelConfig(dim=8, num_blocks=(1, 1, 1, 1),
+                          num_refinement_blocks=1, parity_params=False),
+        critic=CriticConfig(patch_size=32),
+        data=DataConfig(de_type=("derain",), patch_size=32,
+                        data_file_dir=f"{data_tree}/manifests/",
+                        derain_dir=f"{data_tree}/Derain/", num_workers=2,
+                        oversample={"derain": 8, "denoise": 1, "deblur": 1,
+                                    "lowlight": 1, "single": 1}),
+        train=TrainConfig(**defaults),
+    )
+
+
+class TestTrainerLoop:
+    def test_fit_trains_and_checkpoints(self, data_tree, tmp_path):
+        cfg = make_cfg(data_tree, tmp_path)
+        log = str(tmp_path / "log.jsonl")
+        tr = Trainer(cfg, log_path=log)
+        tr.fit()
+        assert tr.host_step == 4  # 8 samples / batch 2
+        ckpts = os.listdir(cfg.train.ckpt_dir)
+        assert any(c.startswith("T_step4") for c in ckpts)
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert "epoch_start" in events and "epoch_end" in events
+
+    def test_recovery_cycle(self, data_tree, tmp_path):
+        """Fail mid-epoch, resume from the mid-epoch checkpoint, finish:
+        the recovery path from SURVEY.md §5 (failure detection / resume)."""
+        cfg = make_cfg(data_tree, tmp_path, fail_at_step=3, ckpt_every_steps=2)
+        tr = Trainer(cfg, log_path=None)
+        with pytest.raises(InjectedFailure):
+            tr.fit()
+        assert tr.host_step == 3
+
+        ckpt = os.path.join(cfg.train.ckpt_dir, "latest.npz")
+        cfg2 = make_cfg(data_tree, tmp_path, fail_at_step=-1, ckpt_every_steps=2)
+        tr2 = Trainer(cfg2, log_path=None)
+        tr2.resume(ckpt)
+        assert tr2.host_step == 2  # mid-epoch ckpt was at step 2
+        assert tr2.start_step == 2
+        tr2.fit()
+        assert tr2.host_step == 4  # completed the epoch, no rework of 0-1
+
+    def test_sample_dump(self, data_tree, tmp_path):
+        cfg = make_cfg(data_tree, tmp_path, sample_every=1,
+                       sample_dir=str(tmp_path / "samples"))
+        tr = Trainer(cfg, log_path=None)
+        tr.fit()
+        files = os.listdir(os.path.join(cfg.train.sample_dir, "T"))
+        assert {"epoch1_output.png", "epoch1_degraded.png",
+                "epoch1_target.png", "epoch1_res.png"} <= set(files)
