@@ -39,17 +39,34 @@ class HostBatch:
 
 
 class TrainLoader:
-    """Deterministic, resumable epoch iterator over host batches."""
+    """Deterministic, resumable epoch iterator over host batches.
+
+    When the native C++ loader is built (native/build.sh), image decode +
+    patch crop run on its thread pool in ONE call per batch (use_native=None
+    auto-detects); the PIL path is the fallback and produces IDENTICAL
+    batches (same RNG draw order)."""
 
     def __init__(self, cfg: Config, *, seed: int = 0,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 use_native: Optional[bool] = None):
+        from . import native as native_mod
         self.cfg = cfg
         self.seed = seed
         self.pi = jax.process_index() if process_index is None else process_index
         self.pc = jax.process_count() if process_count is None else process_count
         self.index = TrainIndex(cfg.data, random.Random(seed))
         self.pool = ThreadPoolExecutor(max_workers=max(1, cfg.data.num_workers))
+        self.native = native_mod if (
+            use_native if use_native is not None else native_mod.available()) else None
+        self._dims_cache = {}
+
+    def _dims(self, path: str):
+        hw = self._dims_cache.get(path)
+        if hw is None:
+            hw = self.native.image_size(path)
+            self._dims_cache[path] = hw
+        return hw
 
     def steps_per_epoch(self) -> int:
         local = len(range(self.pi, len(self.index), self.pc))
@@ -63,7 +80,7 @@ class TrainLoader:
         bs = self.cfg.train.batch_size
         n_batches = len(order) // bs
 
-        def make(bstep: int) -> HostBatch:
+        def make_pil(bstep: int) -> HostBatch:
             rng = random.Random(f"{self.seed}:{epoch}:{bstep}:{self.pi}")
             samples = [self.index.samples[order[bstep * bs + k]] for k in range(bs)]
             degs, cleans, ids = [], [], []
@@ -75,6 +92,44 @@ class TrainLoader:
                 ids.append(i)
             return HostBatch(np.stack(degs), np.stack(cleans),
                              np.asarray(ids, np.int32))
+
+        def make_native(bstep: int) -> HostBatch:
+            # identical RNG draw order to make_pil -> identical batches
+            rng = random.Random(f"{self.seed}:{epoch}:{bstep}:{self.pi}")
+            samples = [self.index.samples[order[bstep * bs + k]] for k in range(bs)]
+            ps = self.cfg.data.patch_size
+            base = self.cfg.data.crop_base
+            paths, ys, xs, slots, ids = [], [], [], [], []
+            for k, s in enumerate(samples):
+                ids.append(s.de_id)
+                # crop-to-base offsets match datasets.crop_to_base
+                h, w = self._dims(s.degraded_path if s.de_id >= 3 else s.clean_path)
+                top, left = (h % base) // 2, (w % base) // 2
+                hh, ww = h - h % base, w - w % base
+                i = rng.randint(0, hh - ps)
+                j = rng.randint(0, ww - ps)
+                if s.de_id < 3:
+                    paths.append(s.clean_path)
+                    ys.append(top + i)
+                    xs.append(left + j)
+                    slots.append(("both", k))
+                else:
+                    paths.extend([s.degraded_path, s.clean_path])
+                    ys.extend([top + i, top + i])
+                    xs.extend([left + j, left + j])
+                    slots.extend([("deg", k), ("clean", k)])
+            patches = self.native.load_patches(
+                paths, ys, xs, ps, nthreads=max(1, self.cfg.data.num_workers))
+            degs = np.empty((bs, ps, ps, 3), np.uint8)
+            cleans = np.empty((bs, ps, ps, 3), np.uint8)
+            for patch, (kind, k) in zip(patches, slots):
+                if kind in ("both", "deg"):
+                    degs[k] = patch
+                if kind in ("both", "clean"):
+                    cleans[k] = patch
+            return HostBatch(degs, cleans, np.asarray(ids, np.int32))
+
+        make = make_native if self.native is not None else make_pil
 
         window = max(2, self.cfg.data.prefetch + 1)
         pending = collections.deque()

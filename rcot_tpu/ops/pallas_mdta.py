@@ -104,17 +104,25 @@ def mdta_attend_fused(q: jax.Array, k: jax.Array, v: jax.Array,
     temp_flat = jnp.tile(temperature[:, 0, 0], (b,))
 
     grid = (bh, 2, n // chunk)
-    qkv_spec = pl.BlockSpec(
-        (1, c, chunk), lambda i, ph, nc: (i, 0, nc), memory_space=pltpu.VMEM)
+    # Index maps freeze to chunk 0 during the phase that doesn't consume the
+    # tensor (q/k stream in phase 0, v in phase 1) — Mosaic's pipeline only
+    # re-fetches when the block index changes, so each tensor crosses HBM
+    # once (plus one stale chunk-0 fetch per phase) instead of twice.
+    qk_spec = pl.BlockSpec(
+        (1, c, chunk), lambda i, ph, nc: (i, 0, jnp.where(ph == 0, nc, 0)),
+        memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec(
+        (1, c, chunk), lambda i, ph, nc: (i, 0, jnp.where(ph == 1, nc, 0)),
+        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            qkv_spec, qkv_spec, qkv_spec,
+            qk_spec, qk_spec, v_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, c, chunk), lambda i, ph, nc: (i, 0, nc),
+            (1, c, chunk), lambda i, ph, nc: (i, 0, jnp.where(ph == 1, nc, 0)),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, c, n), v.dtype),
         scratch_shapes=[

@@ -158,6 +158,22 @@ class TestLoader:
         resumed = [b for _, b in zip(range(2), loader.epoch(1, start_step=2))]
         np.testing.assert_array_equal(resumed[0].degraded, run1[2].degraded)
 
+    def test_native_loader_matches_pil(self, fake_data):
+        """The C++ loader and the PIL fallback must produce identical
+        batches (same decode bytes, same RNG draw order)."""
+        from rcot_tpu.data import native
+        if not native.available():
+            pytest.skip("native loader not built (native/build.sh)")
+        cfg = Config(data=fake_data, train=TrainConfig(batch_size=4))
+        ln = TrainLoader(cfg, seed=5, process_index=0, process_count=1,
+                         use_native=True)
+        lp = TrainLoader(cfg, seed=5, process_index=0, process_count=1,
+                         use_native=False)
+        for bn, bp in zip(ln.epoch(1), lp.epoch(1)):
+            np.testing.assert_array_equal(bn.degraded, bp.degraded)
+            np.testing.assert_array_equal(bn.clean, bp.clean)
+            np.testing.assert_array_equal(bn.de_id, bp.de_id)
+
     def test_per_host_sharding_disjoint(self, fake_data):
         cfg = Config(data=fake_data, train=TrainConfig(batch_size=2))
         l0 = TrainLoader(cfg, seed=3, process_index=0, process_count=2)
