@@ -171,6 +171,68 @@ def port_fnet_state_dict(sd_in: Mapping[str, object], cfg: CriticConfig) -> Dict
     return {"convs": convs, "fc": fc, "fc1": fc1, "fc2": fc2}
 
 
+def _port_cab(sd: _SD, prefix: str) -> Dict:
+    """Legacy CAB (reference: Net.py:57-72): body.0/body.2 convs + CA 1x1s."""
+    return {
+        "conv1": _port_conv(sd, prefix + ".body.0"),
+        "conv2": _port_conv(sd, prefix + ".body.2"),
+        "ca_down": _port_conv(sd, prefix + ".CA.conv_du.0"),
+        "ca_up": _port_conv(sd, prefix + ".CA.conv_du.2"),
+    }
+
+
+def _port_legacy_encoder(sd: _SD, prefix: str, *, csff: bool) -> Dict:
+    p = {
+        "level1": [_port_cab(sd, f"{prefix}.encoder_level1.{i}") for i in range(2)],
+        "level2": [_port_cab(sd, f"{prefix}.encoder_level2.{i}") for i in range(2)],
+        "level3": [_port_cab(sd, f"{prefix}.encoder_level3.{i}") for i in range(2)],
+        "down12": _port_conv(sd, prefix + ".down12.down.1"),
+        "down23": _port_conv(sd, prefix + ".down23.down.1"),
+    }
+    if csff:
+        for i in (1, 2, 3):
+            p[f"csff_enc{i}"] = _port_conv(sd, f"{prefix}.csff_enc{i}")
+            p[f"csff_dec{i}"] = _port_conv(sd, f"{prefix}.csff_dec{i}")
+    return p
+
+
+def port_mprnet_state_dict(sd_in: Mapping[str, object]) -> Dict:
+    """Legacy Net.py T_net state_dict -> models/mprnet.py pytree (the
+    distributed pretrained GDrive weights use this backbone, README.md:118-120).
+
+    The single shared nn.PReLU appears in the state_dict under the first
+    module that registered it (shallow_feat1.1.body.1.weight)."""
+    sd = _SD(sd_in)
+    p: Dict = {
+        "prelu_a": _np(sd.take("shallow_feat1.1.body.1.weight")),
+        "shallow_feat1": {
+            "conv": _port_conv(sd, "shallow_feat1.0"),
+            "cab": _port_cab(sd, "shallow_feat1.1"),
+        },
+        "res_shallow_feat1": {
+            "conv": _port_conv(sd, "res_shallow_feat1.0"),
+            "cab": _port_cab(sd, "res_shallow_feat1.1"),
+        },
+        "stage1_encoder": _port_legacy_encoder(sd, "stage1_encoder", csff=False),
+        "stage1_resencoder": _port_legacy_encoder(sd, "stage1_resencoder", csff=True),
+        "stage1_decoder": {
+            "level1": [_port_cab(sd, f"stage1_decoder.decoder_level1.{i}") for i in range(2)],
+            "level2": [_port_cab(sd, f"stage1_decoder.decoder_level2.{i}") for i in range(2)],
+            "level3": [_port_cab(sd, f"stage1_decoder.decoder_level3.{i}") for i in range(2)],
+            "skip_attn1": _port_cab(sd, "stage1_decoder.skip_attn1"),
+            "skip_attn2": _port_cab(sd, "stage1_decoder.skip_attn2"),
+            "up21": _port_conv(sd, "stage1_decoder.up21.up.1"),
+            "up32": _port_conv(sd, "stage1_decoder.up32.up.1"),
+        },
+        "sam12": {
+            "conv1": _port_conv(sd, "sam12.conv1"),
+            "conv2": _port_conv(sd, "sam12.conv2"),
+            "conv3": _port_conv(sd, "sam12.conv3"),
+        },
+    }
+    return p
+
+
 def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
                               critic_cfg: CriticConfig):
     """Load a reference .pth (pickled modules) -> (t_params, f_params, epoch).

@@ -77,3 +77,26 @@ class TestFnetGolden:
         got = np.asarray(apply_fnet(params, jnp.asarray(x), cfg))
         np.testing.assert_allclose(got, fnet_golden["score"], atol=1e-5,
                                    rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def mprnet_golden():
+    path = os.path.join(GOLDENS, "mprnet_tnet.npz")
+    if not os.path.exists(path):
+        pytest.skip("mprnet golden not generated")
+    return np.load(path)
+
+
+class TestMprnetGolden:
+    def test_legacy_two_pass_matches_reference(self, mprnet_golden):
+        from rcot_tpu.compat.torch_port import port_mprnet_state_dict
+        from rcot_tpu.models.mprnet import apply_mprnet_tnet
+
+        sd = rebuild_state_dict(mprnet_golden)
+        params = port_mprnet_state_dict(sd)
+        assert count_params(params) == 6_842_689
+        x = np.transpose(mprnet_golden["input"], (0, 2, 3, 1))
+        out2, _, _ = apply_mprnet_tnet(params, jnp.asarray(x))
+        got = np.transpose(np.asarray(out2), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, mprnet_golden["out"], atol=2e-4,
+                                   rtol=1e-3)

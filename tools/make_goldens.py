@@ -98,6 +98,20 @@ def main():
         )
         print("fnet golden:", score.shape, score)
 
+        # --- legacy MPRNet T_net golden ---
+        import Net as legacy
+        lt = legacy.T_net().eval()
+        lns = overwrite_params(lt)
+        xl = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+        out_l = lt(torch.from_numpy(xl)).numpy()
+        np.savez_compressed(
+            os.path.join(OUT, "mprnet_tnet.npz"),
+            input=xl, out=out_l,
+            names=np.array([n for n, _ in lns]),
+            shapes=np.array([",".join(map(str, s)) for _, s in lns]),
+        )
+        print("legacy golden:", out_l.shape, float(np.abs(out_l).mean()))
+
 
 if __name__ == "__main__":
     main()
