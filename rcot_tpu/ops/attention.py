@@ -54,7 +54,17 @@ def mdta_attend(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
-    """x: (B, H, W, C) -> (B, H, W, C)."""
+    """x: (B, H, W, C) -> (B, H, W, C).
+
+    Layout note (measured on TPU v5e): the explicit transpose to
+    (B, heads, ch, N) before the attention einsums is the FAST formulation
+    in-graph. "Transpose-free" channel-last variants (head-batched
+    'bnhc,bnhd->bhcd' einsums, or a full-C Gram + block-diagonal attention)
+    look faster in isolated microbenchmarks — where XLA may pick custom
+    parameter layouts — but composed inside the model they trigger
+    pathological relayouts (~60-100x slower whole-model forward: 69ms vs
+    4.6-7.3s). Keep the transposes; XLA fuses them into the surrounding ops.
+    """
     from . import dispatch
 
     b, h, w, c = x.shape
@@ -66,7 +76,7 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
     qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
     temp = jnp.asarray(p["temperature"])
-    if dispatch.pallas_enabled():
+    if dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
         from .pallas_mdta import mdta_attend_pallas
         out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
                                  dispatch.pallas_interpret())

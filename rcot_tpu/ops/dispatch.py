@@ -26,3 +26,9 @@ def pallas_enabled() -> bool:
 
 def pallas_interpret() -> bool:
     return os.environ.get("RCOT_PALLAS_INTERPRET", "") not in ("", "0")
+
+
+def pallas_mdta_on() -> bool:
+    """The fused MDTA kernel is opt-in (RCOT_PALLAS_MDTA=1): measured on v5e
+    it wins only for small-N many-head shapes and loses at level-1 sizes."""
+    return os.environ.get("RCOT_PALLAS_MDTA", "") not in ("", "0")
