@@ -70,7 +70,11 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     b, h, w, c = x.shape
     ch = c // num_heads
 
-    qkv = conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
+    from .conv import depthwise3x3_shifts
+    qkv = conv2d(p["qkv"], x)
+    qkv = (depthwise3x3_shifts(p["qkv_dw"], qkv)
+           if dispatch.dwconv_shifts_on()
+           else conv2d(p["qkv_dw"], qkv, groups=3 * c))
     # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
     # reference's 'b (head c) h w -> b head c (h w)' split.
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)

@@ -53,6 +53,32 @@ def conv2d(p: dict, x: jax.Array, *, stride: int = 1, padding="SAME",
     return y
 
 
+def depthwise3x3_shifts(p: dict, x: jax.Array) -> jax.Array:
+    """3x3 SAME depthwise conv as 9 shifted multiply-adds (no conv op).
+
+    XLA's TPU conv lowering wraps every depthwise conv in 'data formatting'
+    copies (im2col-style operand reshuffles) that profiling shows cost more
+    than the math, especially at non-128-aligned channel counts (the GDFN
+    hiddens 254/510/1020/2042). Expressed as shifts the whole thing becomes
+    one VPU fusion with neighbor reads — and its backward is shifts again.
+    Numerically identical to conv2d(..., groups=C).
+    """
+    w = p["w"]  # (3, 3, 1, C)
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    _, h, w_dim, _ = x.shape
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice(
+                padded, (0, dy, dx, 0),
+                (padded.shape[0], dy + h, dx + w_dim, padded.shape[3]))
+            term = tap * w[dy, dx, 0].astype(x.dtype)
+            out = term if out is None else out + term
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
 def init_linear(key, fin: int, fout: int, *, bias: bool = True,
                 dtype=jnp.float32) -> dict:
     kw, kb = rnglib.split(key)

@@ -28,6 +28,14 @@ def pallas_interpret() -> bool:
     return os.environ.get("RCOT_PALLAS_INTERPRET", "") not in ("", "0")
 
 
+def dwconv_shifts_on() -> bool:
+    """Depthwise 3x3 as shifted FMAs (default OFF): in theory this avoids
+    XLA's conv data-formatting copies, but measured on v5e the shift chains
+    do NOT fuse (373ms vs 192ms per train iteration) — the conv lowering
+    wins despite its formatting copies. RCOT_DWCONV_SHIFTS=1 to experiment."""
+    return os.environ.get("RCOT_DWCONV_SHIFTS", "0") not in ("", "0")
+
+
 def pallas_mdta_on() -> bool:
     """The fused MDTA kernel is opt-in (RCOT_PALLAS_MDTA=1): measured on v5e
     it wins only for small-N many-head shapes and loses at level-1 sizes."""

@@ -36,7 +36,13 @@ def init_gdfn(key, dim: int, ffn_expansion_factor: float, *, bias: bool,
 
 
 def gdfn(p: dict, x: jax.Array) -> jax.Array:
+    from . import dispatch
+    from .conv import depthwise3x3_shifts
+
     h = conv2d(p["proj_in"], x)
-    h = conv2d(p["dw"], h, groups=h.shape[-1])
+    if dispatch.dwconv_shifts_on():
+        h = depthwise3x3_shifts(p["dw"], h)
+    else:
+        h = conv2d(p["dw"], h, groups=h.shape[-1])
     x1, x2 = jnp.split(h, 2, axis=-1)
     return conv2d(p["proj_out"], jax.nn.gelu(x1, approximate=False) * x2)

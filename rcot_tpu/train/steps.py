@@ -128,9 +128,12 @@ def make_f_step(cfg: Config):
         fake = jax.lax.stop_gradient(out)
 
         def wgan(fp):
-            s_real = apply_fnet(fp, batch.target, cfg.critic)
-            s_fake = apply_fnet(fp, fake, cfg.critic)
-            return wgan_critic_loss(s_real, s_fake)
+            # one batched critic forward for real+fake (XLA won't merge two
+            # separate batch-3 calls; batch-6 keeps the MXU busier)
+            scores = apply_fnet(
+                fp, jnp.concatenate([batch.target, fake], axis=0), cfg.critic)
+            b = batch.target.shape[0]
+            return wgan_critic_loss(scores[:b], scores[b:])
 
         f_opt = _set_lr(state.f_opt, lr)
         loss_w, grads = jax.value_and_grad(wgan)(state.f_params)
