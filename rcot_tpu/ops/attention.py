@@ -72,9 +72,14 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
 
     from .conv import depthwise3x3_shifts
     qkv = conv2d(p["qkv"], x)
-    qkv = (depthwise3x3_shifts(p["qkv_dw"], qkv)
-           if dispatch.dwconv_shifts_on()
-           else conv2d(p["qkv_dw"], qkv, groups=3 * c))
+    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+        from .pallas_dwconv import dwconv3x3_pallas
+        qkv = dwconv3x3_pallas(qkv, p["qkv_dw"]["w"][:, :, 0, :],
+                               dispatch.pallas_interpret())
+    elif dispatch.dwconv_shifts_on():
+        qkv = depthwise3x3_shifts(p["qkv_dw"], qkv)
+    else:
+        qkv = conv2d(p["qkv_dw"], qkv, groups=3 * c)
     # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
     # reference's 'b (head c) h w -> b head c (h w)' split.
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)

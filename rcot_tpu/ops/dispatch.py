@@ -36,6 +36,12 @@ def dwconv_shifts_on() -> bool:
     return os.environ.get("RCOT_DWCONV_SHIFTS", "0") not in ("", "0")
 
 
+def pallas_dwconv_on() -> bool:
+    """Fused Pallas depthwise-3x3 kernel (RCOT_PALLAS_DWCONV=1, opt-in until
+    measured faster in-model than XLA's conv lowering)."""
+    return os.environ.get("RCOT_PALLAS_DWCONV", "") not in ("", "0")
+
+
 def pallas_mdta_on() -> bool:
     """The fused MDTA kernel is opt-in (RCOT_PALLAS_MDTA=1): measured on v5e
     it wins only for small-N many-head shapes and loses at level-1 sizes."""

@@ -40,7 +40,11 @@ def gdfn(p: dict, x: jax.Array) -> jax.Array:
     from .conv import depthwise3x3_shifts
 
     h = conv2d(p["proj_in"], x)
-    if dispatch.dwconv_shifts_on():
+    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+        from .pallas_dwconv import dwconv3x3_pallas
+        h = dwconv3x3_pallas(h, p["dw"]["w"][:, :, 0, :],
+                             dispatch.pallas_interpret())
+    elif dispatch.dwconv_shifts_on():
         h = depthwise3x3_shifts(p["dw"], h)
     else:
         h = conv2d(p["dw"], h, groups=h.shape[-1])
