@@ -22,6 +22,7 @@ assumption is fully auditable; a real A100 rerun supersedes this estimate.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -101,6 +102,23 @@ def main():
         vs_baseline = None
         breakeven_util = None
 
+    # Optional: whole-image inference throughput (BASELINE.md metric
+    # "inference img/s"); off by default to keep the driver bench fast.
+    infer_img_per_sec = None
+    if os.environ.get("RCOT_BENCH_INFER"):
+        from rcot_tpu.models.restormer import apply_tnet
+        x = jnp.asarray(rng.uniform(size=(1, 256, 256, 3)),
+                        jnp.bfloat16 if cfg.train.dtype == "bfloat16"
+                        else jnp.float32)
+        fwd = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
+        out = fwd(state.t_params, x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fwd(state.t_params, x)
+        jax.block_until_ready(out)
+        infer_img_per_sec = round(10 / (time.perf_counter() - t0), 3)
+
     print(json.dumps({
         "metric": "rcot_minimax_train_throughput_128px",
         "value": round(patches_per_sec, 3),
@@ -118,6 +136,7 @@ def main():
                 if flops else "unavailable"),
             "breakeven_a100_util": round(breakeven_util, 4)
             if breakeven_util else None,
+            "infer_256px_img_per_sec": infer_img_per_sec,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -26,7 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, w_ref, out_ref, scratch, sem):
-    # x_hbm: (B, H+2, W+2, C) in ANY/HBM; out block: (1, TH, W, C)
+    # x_hbm: (B, H+2, W_pad, C) in ANY/HBM with W_pad % 8 == 0 (left pad 1,
+    # right zeros); out block: (1, TH, W, C). Mosaic requires 8-aligned
+    # second-minor slices, so column shifts are cyclic rolls (the wrap lands
+    # in the zero pad region) and only the final aligned [0:W) slice is taken.
     b = pl.program_id(0)
     r = pl.program_id(1)
     th = out_ref.shape[1]
@@ -37,22 +40,30 @@ def _kernel(x_hbm, w_ref, out_ref, scratch, sem):
     copy.start()
     copy.wait()
 
+    w_pad = scratch.shape[1]
     acc = None
     for dy in range(3):
+        band = scratch[dy:dy + th]  # leading dim is untiled: any slice ok
         for dx in range(3):
-            tap = scratch[dy:dy + th, dx:dx + w_dim, :].astype(jnp.float32)
-            term = tap * w_ref[dy, dx, :].astype(jnp.float32)
+            # want tap[j] = band[j+dx]; roll only takes non-negative shifts,
+            # so roll by (w_pad - dx) — the wrapped columns land past W and
+            # are discarded by the final [:w_dim] slice.
+            tap = band if dx == 0 else pltpu.roll(band, w_pad - dx, 1)
+            term = tap.astype(jnp.float32) * w_ref[dy, dx, :].astype(jnp.float32)
             acc = term if acc is None else acc + term
-    out_ref[0] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc[:, :w_dim, :].astype(out_ref.dtype)
 
 
 def _pick_tile_h(h: int, w: int, c: int, itemsize: int,
-                 budget: int = 6 * 1024 * 1024) -> int:
+                 budget: int = 3 * 1024 * 1024) -> int:
+    # budget is deliberately conservative: Mosaic double-buffers the output
+    # block and adds scoped-stack slack on top of our scratch (16MB VMEM).
     """Largest row tile dividing h whose halo band fits the VMEM budget."""
+    w_pad = ((w + 2 + 7) // 8) * 8
     for th in (64, 32, 16, 8, 4, 2, 1):
         if h % th:
             continue
-        band = (th + 2) * (w + 2) * c * 4  # scratch is f32-computed
+        band = (th + 2) * w_pad * c * itemsize
         out = th * w * c * itemsize
         if band + out <= budget:
             return th
@@ -60,29 +71,36 @@ def _pick_tile_h(h: int, w: int, c: int, itemsize: int,
 
 
 def dwconv3x3_fwd(x: jax.Array, w: jax.Array, *, interpret: bool = False):
-    """x: (B, H, W, C); w: (3, 3, C) -> (B, H, W, C), SAME padding."""
+    """x: (B, H, W, C) with W % 8 == 0; w: (3, 3, C) -> same shape, SAME pad."""
     b, h, w_dim, c = x.shape
-    th = _pick_tile_h(h, w_dim, c, x.dtype.itemsize)
-    if th == 0:
-        raise ValueError(f"no valid row tile for {x.shape}")
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic's sliced-DMA path needs the lane dim in 128 multiples; pad
+    # channels (and slice the output back). This costs a real copy each way —
+    # see BENCH.md for the measured verdict.
+    c_pad = ((c + 127) // 128) * 128
+    th = _pick_tile_h(h, w_dim, c_pad, x.dtype.itemsize)
+    if th == 0 or w_dim % 8:
+        raise ValueError(f"unsupported dwconv shape {x.shape}")
+    w_pad = ((w_dim + 2 + 7) // 8) * 8  # 8-aligned second-minor for DMA
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_pad - w_dim - 1), (0, c_pad - c)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c)))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(b, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full (3,3,C) weights
         ],
-        out_specs=pl.BlockSpec((1, th, w_dim, c), lambda i, r: (i, r, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w_dim, c_pad), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, c_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w_dim + 2, c), x.dtype),
+            pltpu.VMEM((th + 2, w_pad, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, w)
+    )(xp, wp)
+    return out[..., :c] if c_pad != c else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -16,9 +16,9 @@ def _ref(x, w):
 class TestDwconvKernel:
     @pytest.mark.parametrize("shape", [
         (2, 16, 16, 48),     # level-1-ish
-        (1, 8, 12, 254),     # GDFN hidden, odd channel count
+        (1, 8, 16, 254),     # GDFN hidden, odd channel count
         (3, 32, 16, 96),     # non-square
-        (1, 4, 4, 8),        # tiny
+        (1, 4, 8, 8),        # tiny
     ])
     def test_fwd_matches_lax_conv(self, rng, shape):
         x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
