@@ -10,7 +10,27 @@ This is not a port: activations are NHWC, the model is a pure function over a
 param pytree, both restoration passes + the transport cost compile into single
 XLA programs, the minimax alternation is two jitted steps with donated buffers,
 data parallelism is a `jax.sharding.Mesh` axis with psum'd gradients, and the
-hot ops have fused Pallas TPU kernels with pure-jnp reference twins.
+hot ops have Pallas TPU kernels with pure-jnp reference twins.
+
+Quick API:
+
+    from rcot_tpu import Config, get_preset, Trainer
+    from rcot_tpu.models.restormer import init_tnet, apply_tnet
+    from rcot_tpu.models.inference import make_restorer
 """
 
 __version__ = "0.1.0"
+
+from .utils.config import (Config, CriticConfig, DataConfig,  # noqa: F401
+                           EvalConfig, ModelConfig, TrainConfig, get_preset)
+
+
+def __getattr__(name):
+    # lazy heavy imports so `import rcot_tpu` stays light
+    if name == "Trainer":
+        from .train.trainer import Trainer
+        return Trainer
+    if name == "TrainState":
+        from .train.steps import TrainState
+        return TrainState
+    raise AttributeError(name)
