@@ -12,7 +12,6 @@ normalization.
 from __future__ import annotations
 
 import argparse
-import os
 from typing import Optional
 
 import numpy as np

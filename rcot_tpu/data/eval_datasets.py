@@ -18,7 +18,7 @@ cropped to multiples of 16 like the reference.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

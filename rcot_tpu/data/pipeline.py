@@ -18,15 +18,14 @@ from __future__ import annotations
 
 import collections
 import random
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import jax
 import numpy as np
 
 from ..utils.config import Config
-from .datasets import Sample, TrainIndex, get_patch_pair
+from .datasets import TrainIndex, get_patch_pair
 
 
 class HostBatch:

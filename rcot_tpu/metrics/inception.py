@@ -21,8 +21,7 @@ from __future__ import annotations
 import os
 import warnings
 import zlib
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,7 @@ shape. This module fixes both:
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ modules are also instantiated, pinning total params to 46,853,150.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

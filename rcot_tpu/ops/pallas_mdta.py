@@ -24,7 +24,6 @@ differentiates the pure-jnp reference (recompute).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

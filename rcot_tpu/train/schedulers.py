@@ -19,7 +19,7 @@ optimizers' learning_rate hyperparameter without recompilation:
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 Schedule = Callable[[int], float]
 

@@ -22,7 +22,6 @@ reduction. See rcot_tpu/parallel/sharding.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -18,7 +18,6 @@ Replaces the reference's trainer.py main()/train()/evaluate() loop
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import jax

@@ -12,7 +12,7 @@ import dataclasses
 import hashlib
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 # Degradation id scheme (reference: util/dataset_utils.py:40).
 DE_DICT: Dict[str, int] = {
