@@ -28,6 +28,19 @@ def psnr(pred: jax.Array, target: jax.Array, data_range: float = 1.0) -> jax.Arr
     return 10.0 * jnp.log10((data_range ** 2) / mse)
 
 
+def psnr_peak_max(pred: jax.Array, target: jax.Array,
+                  shave_border: int = 0) -> jax.Array:
+    """The reference's data-dependent-peak PSNR variant (evaluate.py:42-51):
+    20*log10(pred.max() / rmse) with optional border shave. Kept for parity
+    with scripts that used it; prefer `psnr` for comparable numbers."""
+    if shave_border:
+        pred = pred[shave_border:-shave_border, shave_border:-shave_border]
+        target = target[shave_border:-shave_border, shave_border:-shave_border]
+    rmse = jnp.sqrt(jnp.mean(jnp.square(
+        pred.astype(jnp.float32) - target.astype(jnp.float32))))
+    return 20.0 * jnp.log10(jnp.max(pred) / rmse)
+
+
 def _gaussian_kernel_cv2(ksize: int, sigma: float) -> np.ndarray:
     """cv2.getGaussianKernel parity (evaluate.py:59)."""
     if sigma <= 0:

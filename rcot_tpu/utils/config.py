@@ -210,6 +210,10 @@ PRESETS: Dict[str, Config] = {
     # SRx4: 'single'-type training on bicubic-degraded HR patches
     # (BASELINE.json config #5; data/sr.py synthesizes the LR inputs).
     "sr_x4": _recipe(("single",), "SRx4"),
+    # deblur (GoPro-style blur/sharp folders) and lowlight (LOL-style
+    # low/high folders) — de_ids 5 and 6 (util/dataset_utils.py:40).
+    "deblur": _recipe(("deblur",), "Deblurring"),
+    "lowlight": _recipe(("lowlight",), "Lowlight"),
 }
 
 
