@@ -68,6 +68,23 @@ def init_block_stack(key, n: int, dim: int, num_heads: int, ffn_factor: float,
 
 
 def block_stack(ps: list, x: jax.Array, num_heads: int) -> jax.Array:
+    """Apply a stack of identical-config transformer blocks.
+
+    RCOT_SCAN_BLOCKS=1 runs the stack as ONE lax.scan over stacked params —
+    dedupes the repeated block HLO so the whole-model program compiles far
+    faster (useful against this sandbox's multi-minute remote compiles), at
+    the cost of whatever cross-block fusion XLA would have found. Default is
+    the unrolled loop (numerically identical either way).
+    """
+    import os
+    if len(ps) > 1 and os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
+
+        def body(h, p):
+            return transformer_block(p, h, num_heads), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
     for p in ps:
         x = transformer_block(p, x, num_heads)
     return x

@@ -78,6 +78,20 @@ class TestTrainerLoop:
         tr2.fit()
         assert tr2.host_step == 4  # completed the epoch, no rework of 0-1
 
+    def test_fit_with_data_parallel_mesh(self, data_tree, tmp_path):
+        """Trainer end-to-end over a 4-device 'data' mesh: replicated state,
+        sharded batches, gradient all-reduce inserted by XLA."""
+        import jax
+
+        from rcot_tpu.parallel.sharding import make_mesh
+        cfg = make_cfg(data_tree, tmp_path, batch_size=4)
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        tr = Trainer(cfg, mesh=mesh, log_path=None)
+        tr.fit()
+        assert tr.host_step == 2  # 8 samples / batch 4
+        leaf = jax.tree_util.tree_leaves(tr.state.t_params)[0]
+        assert len(leaf.devices()) == 4  # replicated across the mesh
+
     def test_sample_dump(self, data_tree, tmp_path):
         cfg = make_cfg(data_tree, tmp_path, sample_every=1,
                        sample_dir=str(tmp_path / "samples"))
