@@ -75,18 +75,26 @@ def block_stack(ps: list, x: jax.Array, num_heads: int) -> jax.Array:
     faster (useful against this sandbox's multi-minute remote compiles), at
     the cost of whatever cross-block fusion XLA would have found. Default is
     the unrolled loop (numerically identical either way).
+
+    RCOT_REMAT=1 wraps each block in jax.checkpoint (rematerialize block
+    internals in the backward instead of storing them) — trades ~recompute
+    for activation memory so larger batches fit HBM (batch 12 at patch 128
+    OOMs without it).
     """
     import os
+    block = transformer_block
+    if os.environ.get("RCOT_REMAT", "") not in ("", "0"):
+        block = jax.checkpoint(transformer_block, static_argnums=(2,))
     if len(ps) > 1 and os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
 
         def body(h, p):
-            return transformer_block(p, h, num_heads), None
+            return block(p, h, num_heads), None
 
         x, _ = jax.lax.scan(body, x, stacked)
         return x
     for p in ps:
-        x = transformer_block(p, x, num_heads)
+        x = block(p, x, num_heads)
     return x
 
 
