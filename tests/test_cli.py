@@ -67,6 +67,15 @@ class TestFidCLI:
             fid.main(["--help"])
 
 
+class TestEvalAllCLI:
+    def test_parser(self):
+        from rcot_tpu.cli.eval_all import build_parser
+        args = build_parser().parse_args(
+            ["--ckpt", "x.npz", "--denoise-path", "d/", "--sigmas", "15", "50"])
+        assert args.sigmas == [15, 50]
+        assert args.derain_path is None
+
+
 class TestTestCLI:
     def test_parser_defaults(self):
         from rcot_tpu.cli.test import build_parser
