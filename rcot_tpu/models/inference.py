@@ -83,8 +83,16 @@ class Restorer:
         return y[:, :h, :w, :]
 
     def _tiled(self, x: jax.Array) -> jax.Array:
-        """Overlap-tiled restoration with uniform blending; all tiles run as
-        one batched forward so the MXU stays full."""
+        """Overlap-tiled restoration with FEATHERED blending; all tiles run
+        as one batched forward so the MXU stays full.
+
+        Feathering: each tile contributes with a separable tent profile that
+        ramps linearly across the overlap band, so seams blend smoothly
+        instead of averaging with a hard step (the working, improved version
+        of the reference's dead tile_degrad, util/dataset_utils.py:323-347).
+        Interior weights are constant, and profiles are renormalized by the
+        accumulated weight, so fully-covered pixels are exact.
+        """
         tile, ov = self.tile, self.tile_overlap
         _, h, w, c = x.shape
         t = min(tile, h, w)
@@ -98,15 +106,23 @@ class Restorer:
             ws.append(w - t)
 
         tiles = jnp.stack([x[0, i:i + t, j:j + t, :] for i in hs for j in ws])
-        outs = self._jitted(tiles)
+        outs = self._jitted(tiles).astype(jnp.float32)
+
+        # separable tent: ramp over the overlap width, flat in the interior
+        ramp = np.ones(t, np.float32)
+        if ov > 0:
+            edge = np.linspace(1.0 / (ov + 1), 1.0, ov, dtype=np.float32)
+            ramp[:ov] = edge
+            ramp[-ov:] = edge[::-1]
+        prof = jnp.asarray(np.outer(ramp, ramp))[:, :, None]
 
         acc = jnp.zeros((h, w, c), jnp.float32)
         weight = jnp.zeros((h, w, 1), jnp.float32)
         k = 0
         for i in hs:
             for j in ws:
-                acc = acc.at[i:i + t, j:j + t, :].add(outs[k])
-                weight = weight.at[i:i + t, j:j + t, :].add(1.0)
+                acc = acc.at[i:i + t, j:j + t, :].add(outs[k] * prof)
+                weight = weight.at[i:i + t, j:j + t, :].add(prof)
                 k += 1
         return (acc / weight)[None]
 
