@@ -92,6 +92,26 @@ class TestTrainerLoop:
         leaf = jax.tree_util.tree_leaves(tr.state.t_params)[0]
         assert len(leaf.devices()) == 4  # replicated across the mesh
 
+    def test_resume_single_device_ckpt_onto_mesh(self, data_tree, tmp_path):
+        """A checkpoint written single-device resumes onto a data mesh
+        (replication happens at resume, then training proceeds)."""
+        import jax
+
+        from rcot_tpu.parallel.sharding import make_mesh
+        cfg = make_cfg(data_tree, tmp_path, batch_size=2)
+        tr = Trainer(cfg, log_path=None)
+        tr.fit()
+        ckpt = os.path.join(cfg.train.ckpt_dir, "latest.npz")
+
+        cfg2 = make_cfg(data_tree, tmp_path, batch_size=2, num_epochs=2)
+        mesh = make_mesh(data=2, devices=jax.devices()[:2])
+        tr2 = Trainer(cfg2, mesh=mesh, log_path=None)
+        tr2.resume(ckpt)
+        tr2.fit()  # epoch 2 on the mesh
+        assert tr2.host_step == 8
+        leaf = jax.tree_util.tree_leaves(tr2.state.t_params)[0]
+        assert len(leaf.devices()) == 2
+
     def test_sample_dump(self, data_tree, tmp_path):
         cfg = make_cfg(data_tree, tmp_path, sample_every=1,
                        sample_dir=str(tmp_path / "samples"))
