@@ -30,11 +30,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile", type=int, default=0,
                    help="overlap-tiled inference tile size (0 = whole image)")
     p.add_argument("--tile-overlap", type=int, default=32)
+    p.add_argument("--batch", type=int, default=1,
+                   help="restore N same-bucket images per forward (the "
+                        "reference loop is strictly batch-1, tester.py:63)")
+    p.add_argument("--spatial", type=int, default=0,
+                   help="shard full-res activations over image rows across N "
+                        "devices (halo exchanges inserted by XLA)")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthesize gaussian noise on the GT (tester_noise mode)")
     p.add_argument("--seed", type=int, default=1850)  # tester_noise.py:12
     p.add_argument("--fid", action="store_true", help="also compute FID")
     p.add_argument("--inception-weights", default=None)
+    p.add_argument("--lpips", action="store_true",
+                   help="also report mean LPIPS (the reference lists lpips "
+                        "but left the calls commented out, evaluate.py:95-96)")
+    p.add_argument("--lpips-weights", default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     return p
 
@@ -95,15 +105,55 @@ def main(argv=None) -> None:
     from ..utils.config import ModelConfig
 
     enable_compilation_cache()
+    mesh = None
+    if args.spatial > 1:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(data=1, spatial=args.spatial)
     params, model_cfg = load_t_params(args.ckpt, ModelConfig())
     restorer = make_restorer(
         params, model_cfg, tile=args.tile, tile_overlap=args.tile_overlap,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        mesh=mesh)
 
     rng = np.random.default_rng(args.seed)
     p_meter, s_meter = AverageMeter(), AverageMeter()
+    l_meter = AverageMeter()
+    lpips_fn = None
+    if args.lpips:
+        import jax
+
+        from ..metrics.lpips import init_lpips_params, lpips as lpips_dist
+        lp = init_lpips_params(args.lpips_weights)
+        lpips_fn = jax.jit(lambda a, b: lpips_dist(lp, a, b))
     best = (-1.0, None)
     worst = (1e9, None)
+
+    def flush(chunk):
+        outs = (restorer.restore_batch([deg for _, deg, _ in chunk])
+                if args.batch > 1 else
+                [restorer(deg) for _, deg, _ in chunk])
+        for (name, deg, tar), out in zip(chunk, outs):
+            res = deg - out
+            save_png(os.path.join(args.saveres, name), 2.0 * res)
+            save_png(os.path.join(args.save, name), out)
+            save_png(os.path.join(args.savetar, name), tar)
+
+            p = float(psnr(jnp.asarray(out), jnp.asarray(tar), 1.0))
+            s = float(ssim_ref_single(jnp.asarray(out) * 255.0,
+                                      jnp.asarray(tar) * 255.0))
+            p_meter.update(p)
+            s_meter.update(s)
+            if lpips_fn is not None:
+                l_meter.update(float(lpips_fn(jnp.asarray(out)[None],
+                                              jnp.asarray(tar)[None])[0]))
+            nonlocal best, worst
+            if p > best[0]:
+                best = (p, name)
+            if p < worst[0]:
+                worst = (p, name)
+            print(f"{name}: psnr {p:.4f} ssim {s:.4f}")
+
+    chunk = []
     for deg_path, tar_path in eval_pairs(args.degset, args.tarset):
         name = os.path.basename(deg_path)
         deg = load_rgb(deg_path).astype(np.float32) / 255.0
@@ -114,27 +164,18 @@ def main(argv=None) -> None:
         if args.noise_sigma > 0:
             noise = rng.standard_normal(tar.shape) * args.noise_sigma / 255.0
             deg = np.clip(tar + noise, 0.0, 1.0).astype(np.float32)
-
-        out = restorer(deg)
-        res = deg - out
-        save_png(os.path.join(args.saveres, name), 2.0 * res)
-        save_png(os.path.join(args.save, name), out)
-        save_png(os.path.join(args.savetar, name), tar)
-
-        p = float(psnr(jnp.asarray(out), jnp.asarray(tar), 1.0))
-        s = float(ssim_ref_single(jnp.asarray(out) * 255.0,
-                                  jnp.asarray(tar) * 255.0))
-        p_meter.update(p)
-        s_meter.update(s)
-        if p > best[0]:
-            best = (p, name)
-        if p < worst[0]:
-            worst = (p, name)
-        print(f"{name}: psnr {p:.4f} ssim {s:.4f}")
+        chunk.append((name, deg, tar))
+        if len(chunk) >= max(args.batch, 1):
+            flush(chunk)
+            chunk = []
+    if chunk:
+        flush(chunk)
 
     print(f"PSNR: average {p_meter.avg:.5f}  best {best[1]} {best[0]:.4f}  "
           f"worst {worst[1]} {worst[0]:.4f}")
     print(f"SSIM: average {s_meter.avg:.5f}")
+    if lpips_fn is not None:
+        print(f"LPIPS: average {l_meter.avg:.5f}")
 
     if args.fid:
         from .fid import compute_fid_folders

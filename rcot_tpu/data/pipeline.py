@@ -144,14 +144,17 @@ class TrainLoader:
 
 
 def device_prefetch(host_iter, size: int = 2, sharding=None):
-    """Move host batches to device `size` ahead of consumption."""
+    """Move host batches to device `size` ahead of consumption.
+
+    With a sharding that spans processes (multi-host DP), each host's batch is
+    its local slice of the global batch (global = per_host_batch *
+    process_count) and the global array is assembled without gathering."""
     queue = collections.deque()
 
     def put(b):
         if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding),
-                (b.degraded, b.clean, b.de_id))
+            from ..parallel.sharding import put_global
+            return put_global((b.degraded, b.clean, b.de_id), sharding)
         return jax.tree_util.tree_map(jax.device_put, (b.degraded, b.clean, b.de_id))
 
     it = iter(host_iter)

@@ -1,4 +1,5 @@
-"""Full-resolution inference: pad-to-mod-8, shape bucketing, overlap tiling.
+"""Full-resolution inference: pad-to-mod-8, shape bucketing, overlap tiling,
+batched folder restoration, and mesh-sharded full-res execution.
 
 The reference crops test images to mod-4 and feeds variable full-res shapes
 one at a time (reference: tester.py:77-107) — which both violates the
@@ -9,19 +10,40 @@ shape. This module fixes both:
   unlike the reference's cropping which discards pixels);
 - bucketed whole-image inference: pad H,W up to the next bucket so a folder
   of arbitrary sizes compiles only a handful of programs;
-- overlap-tiled inference with uniform-weight blending for images too large
+- restore_batch: many same-bucket images in ONE forward (the reference's loop
+  is strictly batch-1, tester.py:63-107 — batching keeps the MXU full);
+- overlap-tiled inference with feathered blending for images too large
   for HBM — the working version of the reference's dead tile_degrad
   (util/dataset_utils.py:323-347) and slice/splice utilities
-  (util/image_utils.py:68-98), batched so tiles fill the MXU.
+  (util/image_utils.py:68-98), batched so tiles fill the MXU;
+- spatial sharding: pass a Mesh and activations shard over image rows across
+  chips (XLA inserts halo exchanges for the 3x3 convs) so full-res images
+  exceeding one chip's HBM still run whole (parallel/sharding.py).
+
+Params are a call argument of the jitted function (not a closure), so a
+Restorer survives parameter updates — the per-epoch validation loop reuses
+one compiled program for a whole training run.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _reflect_pad_hw(x: jax.Array, ph: int, pw: int) -> jax.Array:
+    """Reflect-pad the bottom/right of (B,H,W,C) by (ph, pw), chunked so pads
+    larger than the image (small image, big bucket) stay legal for reflect."""
+    while ph or pw:
+        h, w = x.shape[1:3]
+        dh, dw = min(ph, h - 1), min(pw, w - 1)
+        x = jnp.pad(x, ((0, 0), (0, dh), (0, dw), (0, 0)), mode="reflect")
+        ph -= dh
+        pw -= dw
+    return x
 
 
 def pad_to_multiple(x: jax.Array, base: int = 8) -> Tuple[jax.Array, Tuple[int, int]]:
@@ -30,7 +52,7 @@ def pad_to_multiple(x: jax.Array, base: int = 8) -> Tuple[jax.Array, Tuple[int, 
     ph = (-h) % base
     pw = (-w) % base
     if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        x = _reflect_pad_hw(x, ph, pw)
     return x, (h, w)
 
 
@@ -48,21 +70,60 @@ def bucket_size(n: int, base: int = 8, buckets: Tuple[int, ...] = ()) -> int:
 
 
 class Restorer:
-    """Jit-cached whole-image / tiled restoration around a model apply fn.
+    """Jit-cached whole-image / tiled / batched restoration around a model fn.
 
-    model_fn: (x: (B,H,W,C)) -> (B,H,W,C), H,W % 8 == 0. Shapes are bucketed
-    so repeated calls over a test folder reuse compiled programs.
+    model_fn: (params, x: (B,H,W,C)) -> (B,H,W,C), H,W % 8 == 0 — params is a
+    traced argument, so `update_params` swaps weights without recompiling.
+    (A param-less fn(x) also works: pass params=None.) Shapes are bucketed so
+    repeated calls over a test folder reuse compiled programs.
+
+    mesh: optional jax.sharding.Mesh with a 'spatial' axis — full-res
+    activations shard over image rows (H padded to a multiple of the axis
+    size), params replicate, and XLA inserts the halo exchanges.
     """
 
-    def __init__(self, model_fn: Callable[[jax.Array], jax.Array], *,
+    def __init__(self, model_fn: Callable, *, params=None,
                  pad_base: int = 8,
                  buckets: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024),
-                 tile: int = 0, tile_overlap: int = 32):
+                 tile: int = 0, tile_overlap: int = 32, mesh=None):
         self.pad_base = pad_base
         self.buckets = buckets
         self.tile = tile
         self.tile_overlap = tile_overlap
-        self._jitted = jax.jit(model_fn)
+        self.params = params
+        self._takes_params = params is not None
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import replicated, spatial_sharding
+            self._spatial = spatial_sharding(mesh)
+            n_rows = mesh.shape["spatial"]
+            self.pad_base = pad_base * n_rows  # every shard row mod-8
+            if self._takes_params:
+                self.params = jax.device_put(params, replicated(mesh))
+                self._jitted = jax.jit(
+                    model_fn, in_shardings=(replicated(mesh), self._spatial),
+                    out_shardings=self._spatial)
+            else:
+                self._jitted = jax.jit(model_fn, in_shardings=self._spatial,
+                                       out_shardings=self._spatial)
+        else:
+            self._jitted = jax.jit(model_fn)
+
+    def update_params(self, params) -> None:
+        """Swap model weights; compiled programs are reused (same shapes)."""
+        if not self._takes_params:
+            raise ValueError("this Restorer was built without params")
+        if self._mesh is not None:
+            from ..parallel.sharding import replicated
+            params = jax.device_put(params, replicated(self._mesh))
+        self.params = params
+
+    def _fwd(self, x: jax.Array) -> jax.Array:
+        if self._mesh is not None:
+            x = jax.device_put(x, self._spatial)
+        if self._takes_params:
+            return self._jitted(self.params, x)
+        return self._jitted(x)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """img: (H, W, C) float32 in [0,1] -> restored (H, W, C)."""
@@ -73,13 +134,36 @@ class Restorer:
             out = self._whole(x)
         return np.asarray(out[0])
 
+    def restore_batch(self, imgs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Restore several images in one forward per bucket group.
+
+        Images are grouped by (bucketed H, bucketed W); each group pads to
+        its bucket and runs as a single batch. Order is preserved.
+        """
+        groups: dict = {}
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            key = (bucket_size(h, self.pad_base, self.buckets),
+                   bucket_size(w, self.pad_base, self.buckets))
+            groups.setdefault(key, []).append(i)
+        out: List[Optional[np.ndarray]] = [None] * len(imgs)
+        for (bh, bw), idxs in groups.items():
+            batch = jnp.concatenate([
+                _reflect_pad_hw(jnp.asarray(imgs[i])[None],
+                                bh - imgs[i].shape[0], bw - imgs[i].shape[1])
+                for i in idxs])
+            ys = self._fwd(batch)
+            for k, i in enumerate(idxs):
+                h, w = imgs[i].shape[:2]
+                out[i] = np.asarray(ys[k, :h, :w, :])
+        return out  # type: ignore[return-value]
+
     def _whole(self, x: jax.Array) -> jax.Array:
         _, h, w, _ = x.shape
         bh = bucket_size(h, self.pad_base, self.buckets)
         bw = bucket_size(w, self.pad_base, self.buckets)
-        padded = jnp.pad(x, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)),
-                         mode="reflect") if (bh > h or bw > w) else x
-        y = self._jitted(padded)
+        padded = _reflect_pad_hw(x, bh - h, bw - w) if (bh > h or bw > w) else x
+        y = self._fwd(padded)
         return y[:, :h, :w, :]
 
     def _tiled(self, x: jax.Array) -> jax.Array:
@@ -106,7 +190,7 @@ class Restorer:
             ws.append(w - t)
 
         tiles = jnp.stack([x[0, i:i + t, j:j + t, :] for i in hs for j in ws])
-        outs = self._jitted(tiles).astype(jnp.float32)
+        outs = self._fwd(tiles).astype(jnp.float32)
 
         # separable tent: ramp over the overlap width, flat in the interior
         ramp = np.ones(t, np.float32)
@@ -128,11 +212,12 @@ class Restorer:
 
 
 def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
-                  dtype=jnp.float32) -> Restorer:
+                  dtype=jnp.float32, mesh=None) -> Restorer:
     from .restormer import apply_tnet
 
-    def fn(x):
-        out2, _, _ = apply_tnet(params, x.astype(dtype), model_cfg)
+    def fn(p, x):
+        out2, _, _ = apply_tnet(p, x.astype(dtype), model_cfg)
         return out2.astype(jnp.float32)
 
-    return Restorer(fn, tile=tile, tile_overlap=tile_overlap)
+    return Restorer(fn, params=params, tile=tile, tile_overlap=tile_overlap,
+                    mesh=mesh)

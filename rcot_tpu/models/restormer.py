@@ -43,13 +43,15 @@ from ..utils.config import ModelConfig
 # ---------------------------------------------------------------- blocks
 
 def init_transformer_block(key, dim: int, num_heads: int, ffn_factor: float,
-                           *, bias: bool, ln_bias: bool, dtype=jnp.float32) -> dict:
+                           *, bias: bool, ln_bias: bool, ffn_multiple: int = 1,
+                           dtype=jnp.float32) -> dict:
     k1, k2 = rnglib.split(key)
     return {
         "norm1": init_layernorm(dim, bias=ln_bias, dtype=dtype),
         "attn": init_mdta(k1, dim, num_heads, bias=bias, dtype=dtype),
         "norm2": init_layernorm(dim, bias=ln_bias, dtype=dtype),
-        "ffn": init_gdfn(k2, dim, ffn_factor, bias=bias, dtype=dtype),
+        "ffn": init_gdfn(k2, dim, ffn_factor, bias=bias,
+                         hidden_multiple=ffn_multiple, dtype=dtype),
     }
 
 
@@ -60,10 +62,12 @@ def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
 
 
 def init_block_stack(key, n: int, dim: int, num_heads: int, ffn_factor: float,
-                     *, bias: bool, ln_bias: bool, dtype=jnp.float32) -> list:
+                     *, bias: bool, ln_bias: bool, ffn_multiple: int = 1,
+                     dtype=jnp.float32) -> list:
     keys = rnglib.split(key, n)
-    return [init_transformer_block(k, dim, num_heads, ffn_factor,
-                                   bias=bias, ln_bias=ln_bias, dtype=dtype)
+    return [init_transformer_block(k, dim, num_heads, ffn_factor, bias=bias,
+                                   ln_bias=ln_bias, ffn_multiple=ffn_multiple,
+                                   dtype=dtype)
             for k in keys]
 
 
@@ -111,13 +115,17 @@ def init_tnet(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
     ln_bias = cfg.layernorm_type == "WithBias"
     ks = iter(rnglib.split(key, 40))
 
+    ffn_mult = getattr(cfg, "ffn_hidden_multiple", 1)
+
     def stack(n, dim, heads):
-        return init_block_stack(next(ks), n, dim, heads, ffn,
-                                bias=bias, ln_bias=ln_bias, dtype=dtype)
+        return init_block_stack(next(ks), n, dim, heads, ffn, bias=bias,
+                                ln_bias=ln_bias, ffn_multiple=ffn_mult,
+                                dtype=dtype)
 
     def block(dim, heads):
-        return init_transformer_block(next(ks), dim, heads, ffn,
-                                      bias=bias, ln_bias=ln_bias, dtype=dtype)
+        return init_transformer_block(next(ks), dim, heads, ffn, bias=bias,
+                                      ln_bias=ln_bias, ffn_multiple=ffn_mult,
+                                      dtype=dtype)
 
     nb = cfg.num_blocks
     p: Dict = {
@@ -153,8 +161,9 @@ def init_tnet(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
         "noise_level1": block(d2, h[2]),
         "reduce_noise_level1": init_conv2d(next(ks), d2, d2, 1, bias=bias, dtype=dtype),
         "decoder_level1": stack(nb[0], d2, h[0]),
-        "refinement": init_block_stack(next(ks), cfg.num_refinement_blocks, d2, h[0],
-                                       ffn, bias=bias, ln_bias=ln_bias, dtype=dtype),
+        "refinement": init_block_stack(next(ks), cfg.num_refinement_blocks, d2,
+                                       h[0], ffn, bias=bias, ln_bias=ln_bias,
+                                       ffn_multiple=ffn_mult, dtype=dtype),
         "output": init_conv2d(next(ks), d2, cfg.out_channels, 3, bias=bias, dtype=dtype),
     }
     if cfg.parity_params:

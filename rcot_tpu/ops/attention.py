@@ -71,21 +71,25 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     ch = c // num_heads
 
     from .conv import depthwise3x3_shifts
-    qkv = conv2d(p["qkv"], x)
-    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+    if dispatch.ablate("dwconv"):
+        qkv = conv2d(p["qkv"], x)  # measurement-only (ops/dispatch.py)
+    elif dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
         from .pallas_dwconv import dwconv3x3_pallas
-        qkv = dwconv3x3_pallas(qkv, p["qkv_dw"]["w"][:, :, 0, :],
+        qkv = dwconv3x3_pallas(conv2d(p["qkv"], x),
+                               p["qkv_dw"]["w"][:, :, 0, :],
                                dispatch.pallas_interpret())
     elif dispatch.dwconv_shifts_on():
-        qkv = depthwise3x3_shifts(p["qkv_dw"], qkv)
+        qkv = depthwise3x3_shifts(p["qkv_dw"], conv2d(p["qkv"], x))
     else:
-        qkv = conv2d(p["qkv_dw"], qkv, groups=3 * c)
+        qkv = conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
     # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
     # reference's 'b (head c) h w -> b head c (h w)' split.
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
     qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
     temp = jnp.asarray(p["temperature"])
-    if dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
+    if dispatch.ablate("attn_core"):
+        out = qkv[2]  # measurement-only: skip normalize/attn/softmax math
+    elif dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
         from .pallas_mdta import mdta_attend_pallas
         out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
                                  dispatch.pallas_interpret())

@@ -42,6 +42,23 @@ def pallas_dwconv_on() -> bool:
     return os.environ.get("RCOT_PALLAS_DWCONV", "") not in ("", "0")
 
 
+def pallas_fused_on() -> bool:
+    """Fused [1x1 -> dw3x3 -> gate -> 1x1] kernel (ops/pallas_fused.py) for
+    the GDFN and qkv paths. Default ON on TPU: whole-iteration measurement
+    (BENCH.md round 2) shows the dwconv chain costs ~34% of the minimax
+    iteration under XLA's lowering and the fused kernel wins in-model.
+    RCOT_PALLAS_FUSED=0 to disable."""
+    return os.environ.get("RCOT_PALLAS_FUSED", "1") not in ("", "0")
+
+
+def ablate(part: str) -> bool:
+    """Measurement-only ablations (RCOT_ABLATE=dwconv,attn_core,gp): replace a
+    component with identity AT TRACE TIME so whole-program profiling can
+    attribute iteration cost in-model (isolated microbenchmarks mislead on
+    this stack — BENCH.md method note). Never set in training runs."""
+    return part in os.environ.get("RCOT_ABLATE", "").split(",")
+
+
 def pallas_mdta_on() -> bool:
     """The fused MDTA kernel is opt-in (RCOT_PALLAS_MDTA=1): measured on v5e
     it wins only for small-N many-head shapes and loses at level-1 sizes."""

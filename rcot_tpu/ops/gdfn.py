@@ -20,13 +20,19 @@ from ..utils import rng as rnglib
 from .conv import conv2d, init_conv2d
 
 
-def hidden_features(dim: int, ffn_expansion_factor: float) -> int:
-    return int(dim * ffn_expansion_factor)
+def hidden_features(dim: int, ffn_expansion_factor: float,
+                    multiple: int = 1) -> int:
+    """Reference sizing int(dim * factor) (Net_Restormer.py:70), optionally
+    rounded UP to a multiple — the lane-aligned 'turbo' configs round to 128
+    so the depthwise conv channel count (2*hidden) tiles the TPU's 128-lane
+    registers without XLA's data-formatting copies (BENCH.md profile)."""
+    hid = int(dim * ffn_expansion_factor)
+    return -(-hid // multiple) * multiple
 
 
 def init_gdfn(key, dim: int, ffn_expansion_factor: float, *, bias: bool,
-              dtype=jnp.float32) -> dict:
-    hid = hidden_features(dim, ffn_expansion_factor)
+              hidden_multiple: int = 1, dtype=jnp.float32) -> dict:
+    hid = hidden_features(dim, ffn_expansion_factor, hidden_multiple)
     k1, k2, k3 = rnglib.split(key, 3)
     return {
         "proj_in": init_conv2d(k1, dim, hid * 2, 1, bias=bias, dtype=dtype),
@@ -40,7 +46,9 @@ def gdfn(p: dict, x: jax.Array) -> jax.Array:
     from .conv import depthwise3x3_shifts
 
     h = conv2d(p["proj_in"], x)
-    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+    if dispatch.ablate("dwconv"):
+        pass  # measurement-only: attribute the dwconv's in-model cost
+    elif dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
         from .pallas_dwconv import dwconv3x3_pallas
         h = dwconv3x3_pallas(h, p["dw"]["w"][:, :, 0, :],
                              dispatch.pallas_interpret())

@@ -61,12 +61,35 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "spatial", None, None))
 
 
+def _is_multi_process(mesh: Mesh) -> bool:
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
+def put_global(tree, sharding) -> object:
+    """Host pytree -> global jax.Arrays under `sharding`.
+
+    Single-process: a plain device_put. Multi-process (multi-controller JAX):
+    every process passes its PROCESS-LOCAL data and the global array is
+    assembled via jax.make_array_from_process_local_data — for a replicated
+    spec each process passes the identical full array; for a batch-sharded
+    spec each passes its per-host slice (so the global batch is
+    per_host_batch * process_count).
+    """
+    multi = any(d.process_index != jax.process_index()
+                for d in sharding.device_set)
+    if multi:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with batch-dim sharding."""
-    s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    """Host batch pytree -> global arrays sharded over 'data'. Multi-process:
+    each host contributes its local slice of the global batch."""
+    return put_global(batch, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
-    s = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    return put_global(tree, replicated(mesh))

@@ -145,9 +145,13 @@ def make_f_step(cfg: Config):
                 lambda x: apply_fnet(fp, x, cfg.critic),
                 batch.target, fake, key, cfg.train.gp_weight)
 
-        loss_gp, grads = jax.value_and_grad(gp)(f_params)
-        upd, f_opt = f_tx.update(grads, f_opt, f_params)
-        f_params = optax.apply_updates(f_params, upd)
+        from ..ops import dispatch
+        if dispatch.ablate("gp"):  # measurement-only (ops/dispatch.py)
+            loss_gp = jnp.zeros(())
+        else:
+            loss_gp, grads = jax.value_and_grad(gp)(f_params)
+            upd, f_opt = f_tx.update(grads, f_opt, f_params)
+            f_params = optax.apply_updates(f_params, upd)
 
         new_state = state._replace(f_params=f_params, f_opt=f_opt)
         return new_state, {"f_wgan": loss_w, "f_gp": loss_gp}

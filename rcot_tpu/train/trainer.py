@@ -40,10 +40,16 @@ class InjectedFailure(RuntimeError):
 
 class Trainer:
     def __init__(self, cfg: Config, *, mesh=None, log_path: Optional[str] = None):
+        from ..utils.compilation_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh
+        # Multi-host: exactly one process writes checkpoints/samples (the
+        # reference is single-process; SURVEY.md §5 requires process-0 gating).
+        self.is_lead = jax.process_index() == 0
         self.log = MetricsLogger(log_path)
         self.loader = TrainLoader(cfg, seed=cfg.train.seed)
+        self._restorer = None  # built once, reused across epochs
         self._iteration = jax.jit(make_train_iteration(cfg), donate_argnums=(0,))
         out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
 
@@ -98,6 +104,10 @@ class Trainer:
         t = self.cfg.train
         name = f"{t.run_name}_step{self.host_step}"
         path = os.path.join(t.ckpt_dir, name)
+        if not self.is_lead:
+            # every process computes the same replicated state; only process 0
+            # may touch the filesystem (save/prune/symlink race otherwise)
+            return path + ".npz"
         return save_checkpoint(
             path, self.state,
             metadata={"epoch": epoch, "epoch_step": epoch_step,
@@ -111,8 +121,11 @@ class Trainer:
                     profile_dir: Optional[str] = None) -> dict:
         cfg = self.cfg
         t = cfg.train
-        # reference passes epoch-1 into the decay (trainer.py:235).
-        lr = jnp.float32(step_decay_lr(t.lr, epoch - 1, t.lr_step))
+        # reference passes epoch-1 into the decay (trainer.py:235). Host-side
+        # numpy scalar: multi-controller jit treats it as replicated (a
+        # committed single-device jnp scalar would not be a valid input), and
+        # it avoids a dispatch round-trip against a remote-attached TPU.
+        lr = np.float32(step_decay_lr(t.lr, epoch - 1, t.lr_step))
         self.log.log("epoch_start", epoch=epoch, lr=float(lr))
 
         paired_until = t.pairnum // t.batch_size
@@ -127,6 +140,7 @@ class Trainer:
         last_metrics = {}
         n_imgs = 0
         profiling = False
+        batch = None  # stays None on an empty epoch (e.g. resume at last step)
         for i, (deg, clean, de_id) in enumerate(device_prefetch(
                 self.loader.epoch(epoch, start_step),
                 size=cfg.data.prefetch, sharding=sharding)):
@@ -144,9 +158,9 @@ class Trainer:
                 self.log.log("profile_trace", dir=profile_dir)
             timer.start()
             degraded, target, k_gp = self._preproc(
-                jnp.int32(self.host_step), clean, deg, de_id)
+                np.int32(self.host_step), clean, deg, de_id)
             batch = Batch(degraded=degraded, target=target, de_id=de_id)
-            paired = jnp.array(step_idx < paired_until)
+            paired = np.bool_(step_idx < paired_until)
             self.state, metrics = self._iteration(self.state, batch, k_gp,
                                                   paired, lr)
             self.host_step += 1
@@ -170,7 +184,8 @@ class Trainer:
                      patches_per_sec=(t.batch_size / mean_dt)
                      if timer.steps_timed else None)
 
-        if t.sample_every and epoch % t.sample_every == 0:
+        if (t.sample_every and epoch % t.sample_every == 0
+                and batch is not None and self.is_lead):
             # visual smoke artifacts on the LAST batch (reference dumps
             # output/degraded/target/res, trainer.py:355-358)
             from ..models.restormer import apply_tnet
@@ -192,7 +207,11 @@ class Trainer:
         from ..data.datasets import eval_pairs, load_rgb
         from ..metrics.quality import psnr
 
-        restorer = make_restorer(self.state.t_params, self.cfg.model)
+        if self._restorer is None:
+            self._restorer = make_restorer(self.state.t_params, self.cfg.model)
+        else:
+            self._restorer.update_params(self.state.t_params)
+        restorer = self._restorer
         total, n = 0.0, 0
         for deg_path, tar_path in eval_pairs(degset, tarset):
             deg = load_rgb(deg_path).astype(np.float32) / 255.0

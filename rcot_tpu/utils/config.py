@@ -49,6 +49,13 @@ class ModelConfig:
     num_refinement_blocks: int = 4
     heads: Tuple[int, int, int, int] = (1, 2, 4, 8)
     ffn_expansion_factor: float = 2.66
+    # Round the GDFN hidden size UP to this multiple. 1 = reference sizing
+    # int(dim*2.66) -> 127/255/510/1021 (parameter parity). The "turbo"
+    # configs use 128 so every depthwise-conv channel count is 128-lane
+    # aligned — XLA's conv "data formatting" copies around misaligned
+    # channels are the largest non-compute cost in the profiled iteration
+    # (BENCH.md). Non-parity: changes parameter count.
+    ffn_hidden_multiple: int = 1
     bias: bool = False
     layernorm_type: str = "WithBias"  # or "BiasFree"
     # decoder=True runs the residual-conditioned second pass. (The reference
@@ -215,6 +222,19 @@ PRESETS: Dict[str, Config] = {
     "deblur": _recipe(("deblur",), "Deblurring"),
     "lowlight": _recipe(("lowlight",), "Lowlight"),
 }
+
+# Lane-aligned TPU "turbo" model: identical architecture, GDFN hiddens rounded
+# up to 128 (127/255/510/1021 -> 128/256/512/1024) so the depthwise-conv
+# channel counts (2*hidden) are 128-lane aligned. NOT parameter-parity with
+# the reference (+~0.5% params/FLOPs); trains the same objective. The unused
+# parity modules are dropped too — they exist only for the param-count pin.
+TURBO_MODEL = ModelConfig(ffn_hidden_multiple=128, parity_params=False)
+PRESETS["derain_turbo"] = dataclasses.replace(
+    _recipe(("derain",), "Deraining_turbo"), model=TURBO_MODEL)
+PRESETS["all_in_one_turbo"] = dataclasses.replace(
+    PRESETS["all_in_one"], model=TURBO_MODEL,
+    train=dataclasses.replace(PRESETS["all_in_one"].train,
+                              run_name="AllInOne_turbo"))
 
 
 def get_preset(name: str) -> Config:

@@ -55,6 +55,7 @@ def fnet_golden():
 
 
 class TestTnetGolden:
+    @pytest.mark.slow
     def test_two_pass_forward_matches_reference(self, tnet_golden):
         cfg = ModelConfig()
         sd = rebuild_state_dict(tnet_golden)

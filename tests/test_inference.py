@@ -60,6 +60,7 @@ class TestRestorer:
         out = r(img)
         np.testing.assert_allclose(out, img * 0.5 + 0.1, atol=1e-6)
 
+    @pytest.mark.slow
     def test_tiled_real_model_close_to_whole(self, restorer_parts, rng):
         """Overlap-tiled restoration approximates whole-image within a loose
         tolerance (boundary effects only)."""

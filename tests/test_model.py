@@ -74,6 +74,7 @@ class TestTnetForward:
         np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_unused_parity_params_get_zero_grads(self):
         cfg = ModelConfig(dim=8, num_blocks=(1, 1, 1, 1),
                           num_refinement_blocks=1, parity_params=True)

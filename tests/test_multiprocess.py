@@ -1,0 +1,96 @@
+"""Real 2-process jax.distributed test (multi-host DP on CPU controllers).
+
+The reference has no distributed support at all (SURVEY.md §2 parallelism
+census); this pins OUR multi-host design (parallel/sharding.py): coordinator
+bring-up through initialize_distributed, a global mesh spanning processes,
+per-host input sharding (pipeline.py TrainLoader + put_global), gradient
+all-reduce across controllers, and process-0-gated checkpoint writes — by
+actually launching two controller processes (tests/mp_worker.py) against a
+shared synthetic dataset and comparing their results.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+pytestmark = pytest.mark.slow
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _make_tree(root: str) -> None:
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{root}/Derain/rainy", exist_ok=True)
+    os.makedirs(f"{root}/Derain/gt", exist_ok=True)
+    os.makedirs(f"{root}/manifests/rainy", exist_ok=True)
+    clean = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    rain = np.clip(clean.astype(int) + rng.integers(0, 60, clean.shape),
+                   0, 255).astype(np.uint8)
+    Image.fromarray(rain).save(f"{root}/Derain/rainy/rain-0.png")
+    Image.fromarray(clean).save(f"{root}/Derain/gt/norain-0.png")
+    with open(f"{root}/manifests/rainy/rainTrain.txt", "w") as f:
+        f.write("rainy/rain-0.png\n")
+
+
+def test_two_process_distributed_training(tmp_path):
+    tree = str(tmp_path / "tree")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _make_tree(tree)
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    worker = os.path.join(ROOT, "tests", "mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord, tree, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(stdout)
+    for p, stdout in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+
+    results = []
+    for pid in (0, 1):
+        with open(os.path.join(out, f"result_p{pid}.json")) as f:
+            results.append(json.load(f))
+
+    # identical post-epoch params on both controllers (all-reduced grads
+    # over per-host batches)
+    assert results[0]["t_checksum"] == results[1]["t_checksum"]
+    assert results[0]["f_checksum"] == results[1]["f_checksum"]
+    assert np.isfinite(results[0]["t_loss"])
+
+    # checkpoint written by process 0 only
+    assert results[0]["ckpt_written"] and not results[1]["ckpt_written"]
+    assert os.listdir(os.path.join(out, "ckpt_p0"))
+    assert not os.path.isdir(os.path.join(out, "ckpt_p1")) or \
+        not os.listdir(os.path.join(out, "ckpt_p1"))
+
+    # process-0-gated logging: only the lead's JSONL has events
+    lead_log = os.path.join(out, "log_p0.jsonl")
+    assert os.path.exists(lead_log) and os.path.getsize(lead_log) > 0

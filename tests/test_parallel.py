@@ -23,6 +23,7 @@ class TestMesh:
     def test_mesh_shape(self, mesh8):
         assert mesh8.shape == {"data": 8, "spatial": 1}
 
+    @pytest.mark.slow
     def test_dp_grads_equal_single_device(self, mesh8, tiny_model_cfg):
         """psum'd DP gradients == single-device gradients on the same batch
         (SURVEY.md §4e)."""
@@ -44,6 +45,7 @@ class TestMesh:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_sharded_train_iteration(self, mesh8, tiny_config):
         state = create_train_state(jax.random.PRNGKey(0), tiny_config)
         state = replicate(mesh8, state)
@@ -79,6 +81,7 @@ class TestMesh:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip_8(self):
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)

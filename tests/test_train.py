@@ -116,6 +116,7 @@ class TestSteps:
         assert np.isfinite(float(metrics["f_wgan"]))
         assert np.isfinite(float(metrics["f_gp"]))
 
+    @pytest.mark.slow
     def test_t_step_updates_only_transport(self, setup):
         cfg, state, batch = setup
         new, metrics = jax.jit(make_t_step(cfg))(
@@ -126,6 +127,7 @@ class TestSteps:
         assert int(new.step) == int(state.step) + 1
         assert np.isfinite(float(metrics["t_loss"]))
 
+    @pytest.mark.slow
     def test_full_iteration_finite(self, setup):
         cfg, state, batch = setup
         it = jax.jit(make_train_iteration(cfg))

@@ -60,6 +60,7 @@ class TestTrainerLoop:
         events = [json.loads(l)["event"] for l in open(log)]
         assert "epoch_start" in events and "epoch_end" in events
 
+    @pytest.mark.slow
     def test_recovery_cycle(self, data_tree, tmp_path):
         """Fail mid-epoch, resume from the mid-epoch checkpoint, finish:
         the recovery path from SURVEY.md §5 (failure detection / resume)."""
@@ -92,6 +93,7 @@ class TestTrainerLoop:
         leaf = jax.tree_util.tree_leaves(tr.state.t_params)[0]
         assert len(leaf.devices()) == 4  # replicated across the mesh
 
+    @pytest.mark.slow
     def test_resume_single_device_ckpt_onto_mesh(self, data_tree, tmp_path):
         """A checkpoint written single-device resumes onto a data mesh
         (replication happens at resume, then training proceeds)."""
