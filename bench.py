@@ -46,7 +46,7 @@ def main():
     # batch 3, patch 128 — the canonical README recipe; bfloat16 activations
     # (params/grads/optimizer stay fp32 — standard TPU mixed precision,
     # measured ~12% faster than fp32 activations on v5e).
-    cfg = get_preset("derain")
+    cfg = get_preset(os.environ.get("RCOT_BENCH_PRESET", "derain"))
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, dtype="bfloat16"))
     bs, ps = cfg.train.batch_size, cfg.data.patch_size
 
@@ -64,14 +64,27 @@ def main():
     paired = jnp.array(True)
     lr = jnp.float32(1e-4)
 
-    # AOT compile ONCE; reuse the compiled object for cost analysis + timing.
+    # AOT compile ONCE; reuse the compiled object for timing.
     step = jax.jit(make_train_iteration(cfg), donate_argnums=(0,)).lower(
         state, batch, key, paired, lr).compile()
 
-    # FLOPs of one iteration from XLA's cost model (for the A100 estimate).
+    # FLOPs of one iteration for the A100 estimate. XLA's cost analysis
+    # cannot see inside pallas_call, so count on a kernel-free lowering of
+    # the SAME iteration (trace-time switch; lowering does not compile).
     flops = None
     try:
-        cost = step.cost_analysis()
+        from rcot_tpu.ops import dispatch
+        prev = os.environ.get("RCOT_PALLAS")
+        os.environ["RCOT_PALLAS"] = "0"
+        dispatch.pallas_enabled.cache_clear()
+        ref_lowered = jax.jit(make_train_iteration(cfg)).lower(
+            state, batch, key, paired, lr)
+        if prev is None:
+            os.environ.pop("RCOT_PALLAS")
+        else:
+            os.environ["RCOT_PALLAS"] = prev
+        dispatch.pallas_enabled.cache_clear()
+        cost = ref_lowered.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None

@@ -71,7 +71,15 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     ch = c // num_heads
 
     from .conv import depthwise3x3_shifts
-    if dispatch.ablate("dwconv"):
+    if (dispatch.pallas_enabled() and dispatch.pallas_fused_on()
+            and "b" not in p["qkv"] and not dispatch.ablate("dwconv")):
+        # 1x1 qkv projection + its depthwise conv in one Pallas kernel
+        # (ops/pallas_fused.py) — the 3C-wide qkv tensor is built in VMEM
+        from .pallas_fused import conv1x1_dw_fused
+        qkv = conv1x1_dw_fused(x, p["qkv"]["w"][0, 0].astype(x.dtype),
+                               p["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype),
+                               interpret=dispatch.pallas_interpret())
+    elif dispatch.ablate("dwconv"):
         qkv = conv2d(p["qkv"], x)  # measurement-only (ops/dispatch.py)
     elif dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
         from .pallas_dwconv import dwconv3x3_pallas
@@ -82,6 +90,10 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
         qkv = depthwise3x3_shifts(p["qkv_dw"], conv2d(p["qkv"], x))
     else:
         qkv = conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
+    if dispatch.ablate("attn_all"):
+        # measurement-only: skip the head transposes AND the attention core
+        # (isolates transpose cost = attn_all share minus attn_core share)
+        return conv2d(p["proj"], qkv[..., :c])
     # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
     # reference's 'b (head c) h w -> b head c (h w)' split.
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)

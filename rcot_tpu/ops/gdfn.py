@@ -45,6 +45,18 @@ def gdfn(p: dict, x: jax.Array) -> jax.Array:
     from . import dispatch
     from .conv import depthwise3x3_shifts
 
+    if (dispatch.pallas_enabled() and dispatch.pallas_fused_on()
+            and "b" not in p["proj_in"] and not dispatch.ablate("dwconv")):
+        # whole GDFN in ONE Pallas kernel: the 2*hidden-wide intermediates
+        # never touch HBM (ops/pallas_fused.py; ~34% of the minimax
+        # iteration is the XLA dwconv chain this replaces — BENCH.md)
+        from .pallas_fused import gdfn_fused
+        return gdfn_fused(x,
+                          p["proj_in"]["w"][0, 0].astype(x.dtype),
+                          p["dw"]["w"][:, :, 0, :].astype(x.dtype),
+                          p["proj_out"]["w"][0, 0].astype(x.dtype),
+                          interpret=dispatch.pallas_interpret())
+
     h = conv2d(p["proj_in"], x)
     if dispatch.ablate("dwconv"):
         pass  # measurement-only: attribute the dwconv's in-model cost

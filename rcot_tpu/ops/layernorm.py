@@ -32,6 +32,9 @@ def init_layernorm(dim: int, *, bias: bool, dtype=jnp.float32) -> dict:
 
 def layernorm(p: dict, x: jax.Array) -> jax.Array:
     """Channel-last LN over the trailing dim. WithBias iff params contain 'b'."""
+    from . import dispatch
+    if dispatch.ablate("ln"):
+        return x  # measurement-only (ops/dispatch.py)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

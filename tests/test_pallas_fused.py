@@ -1,0 +1,171 @@
+"""Fused [1x1 -> dw3x3 -> gelu-gate -> 1x1] Pallas kernel vs jnp reference.
+
+Runs in interpret mode on the CPU backend (tests/conftest.py). Shapes cover
+aligned and UNALIGNED hidden sizes (the parity config's 2H=254 relies on the
+wrapper's zero-channel re-split), multiple row tiles, and boundary rows.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcot_tpu.ops.pallas_fused import (conv1x1_dw_fused, fused_dwconv,
+                                       gdfn_fused)
+
+
+def _ref_dw(x, dwk):
+    return jax.lax.conv_general_dilated(
+        x, dwk[:, :, None, :], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+def _ref_gdfn(x, w_in, dwk, w_out):
+    h = jnp.einsum("bhwc,cm->bhwm", x, w_in)
+    h = _ref_dw(h, dwk)
+    half = dwk.shape[2] // 2
+    g = jax.nn.gelu(h[..., :half], approximate=False) * h[..., half:]
+    return jnp.einsum("bhwm,mc->bhwc", g, w_out)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.3)
+
+
+class TestForward:
+    @pytest.mark.parametrize("b,h,w,c,hid", [
+        (1, 8, 16, 12, 16),    # aligned-ish tiny
+        (2, 16, 8, 6, 7),      # odd hidden -> wrapper re-split path
+        (1, 4, 4, 3, 127),     # the parity hidden size
+    ])
+    def test_gdfn_matches_reference(self, b, h, w, c, hid):
+        rng = np.random.default_rng(0)
+        x = _rand(rng, b, h, w, c)
+        w_in = _rand(rng, c, 2 * hid)
+        dwk = _rand(rng, 3, 3, 2 * hid)
+        w_out = _rand(rng, hid, c)
+        ours = gdfn_fused(x, w_in, dwk, w_out, interpret=True)
+        ref = _ref_gdfn(x, w_in, dwk, w_out)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_conv1x1_dw_matches_reference(self):
+        rng = np.random.default_rng(1)
+        x = _rand(rng, 2, 8, 8, 10)
+        w_in = _rand(rng, 10, 30)
+        dwk = _rand(rng, 3, 3, 30)
+        ours = conv1x1_dw_fused(x, w_in, dwk, interpret=True)
+        ref = _ref_dw(jnp.einsum("bhwc,cm->bhwm", x, w_in), dwk)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_plain_dwconv(self):
+        rng = np.random.default_rng(2)
+        x = _rand(rng, 1, 16, 8, 24)
+        dwk = _rand(rng, 3, 3, 24)
+        ours = fused_dwconv(x, None, dwk, None, False, True)
+        ref = _ref_dw(x, dwk)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestInModel:
+    def test_tnet_forward_identical_with_fused_path(self, tiny_model_cfg,
+                                                    monkeypatch):
+        """The dispatch-selected fused path must reproduce the jnp model
+        bit-for-bit-ish on a full two-pass forward."""
+        from rcot_tpu.models.restormer import apply_tnet, init_tnet
+        from rcot_tpu.ops import dispatch
+
+        params = init_tnet(jax.random.PRNGKey(0), tiny_model_cfg)
+        x = _rand(np.random.default_rng(9), 1, 16, 16, 3) * 0.1 + 0.5
+
+        monkeypatch.setenv("RCOT_PALLAS", "0")
+        dispatch.pallas_enabled.cache_clear()
+        base = apply_tnet(params, x, tiny_model_cfg)[0]
+
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.setenv("RCOT_PALLAS_FUSED", "1")
+        monkeypatch.setenv("RCOT_PALLAS_INTERPRET", "1")
+        dispatch.pallas_enabled.cache_clear()
+        fused = apply_tnet(params, x, tiny_model_cfg)[0]
+        dispatch.pallas_enabled.cache_clear()
+
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestBackward:
+    def test_gdfn_grads_match_reference(self):
+        rng = np.random.default_rng(3)
+        b, h, w, c, hid = 1, 8, 8, 6, 8
+        x = _rand(rng, b, h, w, c)
+        w_in = _rand(rng, c, 2 * hid)
+        dwk = _rand(rng, 3, 3, 2 * hid)
+        w_out = _rand(rng, hid, c)
+        cot = _rand(rng, b, h, w, c)
+
+        def loss_ours(x, w_in, dwk, w_out):
+            return jnp.sum(gdfn_fused(x, w_in, dwk, w_out, interpret=True)
+                           * cot)
+
+        def loss_ref(x, w_in, dwk, w_out):
+            return jnp.sum(_ref_gdfn(x, w_in, dwk, w_out) * cot)
+
+        g_ours = jax.grad(loss_ours, argnums=(0, 1, 2, 3))(x, w_in, dwk, w_out)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w_in, dwk, w_out)
+        for a, r, name in zip(g_ours, g_ref, ("dx", "dw_in", "ddwk", "dw_out")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+    def test_gdfn_grads_unaligned_hidden(self):
+        rng = np.random.default_rng(4)
+        b, h, w, c, hid = 1, 4, 6, 4, 5
+        x = _rand(rng, b, h, w, c)
+        w_in = _rand(rng, c, 2 * hid)
+        dwk = _rand(rng, 3, 3, 2 * hid)
+        w_out = _rand(rng, hid, c)
+
+        def f(fn):
+            return jax.grad(lambda *a: jnp.sum(jnp.sin(fn(*a))),
+                            argnums=(0, 1, 2, 3))(x, w_in, dwk, w_out)
+
+        g_ours = f(lambda *a: gdfn_fused(*a, interpret=True))
+        g_ref = f(_ref_gdfn)
+        for a, r in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_qkv_path_grads(self):
+        rng = np.random.default_rng(5)
+        x = _rand(rng, 2, 8, 8, 6)
+        w_in = _rand(rng, 6, 18)
+        dwk = _rand(rng, 3, 3, 18)
+
+        def f(fn):
+            return jax.grad(lambda *a: jnp.sum(jnp.tanh(fn(*a))),
+                            argnums=(0, 1, 2))(x, w_in, dwk)
+
+        g_ours = f(lambda x, wi, dk: conv1x1_dw_fused(x, wi, dk,
+                                                      interpret=True))
+        g_ref = f(lambda x, wi, dk: _ref_dw(
+            jnp.einsum("bhwc,cm->bhwm", x, wi), dk))
+        for a, r in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_plain_dwconv_grads(self):
+        rng = np.random.default_rng(6)
+        x = _rand(rng, 1, 8, 8, 16)
+        dwk = _rand(rng, 3, 3, 16)
+
+        def f(fn):
+            return jax.grad(lambda *a: jnp.sum(jnp.cos(fn(*a))),
+                            argnums=(0, 1))(x, dwk)
+
+        g_ours = f(lambda x, dk: fused_dwconv(x, None, dk, None, False, True))
+        g_ref = f(_ref_dw)
+        for a, r in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
