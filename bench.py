@@ -77,8 +77,14 @@ def main():
         prev = os.environ.get("RCOT_PALLAS")
         os.environ["RCOT_PALLAS"] = "0"
         dispatch.pallas_enabled.cache_clear()
-        ref_lowered = jax.jit(make_train_iteration(cfg)).lower(
-            state, batch, key, paired, lr)
+        # abstract inputs + CPU default device: lowering never touches the
+        # (possibly remote) accelerator and cost_analysis works everywhere
+        avals = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (state, batch, key, paired, lr))
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            ref_lowered = jax.jit(make_train_iteration(cfg)).lower(*avals)
         if prev is None:
             os.environ.pop("RCOT_PALLAS")
         else:
@@ -88,8 +94,8 @@ def main():
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"flops counting failed: {e!r}", file=sys.stderr)
 
     # warmup
     for _ in range(3):
@@ -115,22 +121,28 @@ def main():
         vs_baseline = None
         breakeven_util = None
 
-    # Optional: whole-image inference throughput (BASELINE.md metric
-    # "inference img/s"); off by default to keep the driver bench fast.
+    # Whole-image inference throughput (BASELINE.md metric "inference
+    # img/s"), batch 1 and batch 4 (tester parity is batch-1; restore_batch
+    # is ours). RCOT_BENCH_INFER=0 skips it (saves two compiles).
     infer_img_per_sec = None
-    if os.environ.get("RCOT_BENCH_INFER"):
+    infer_b4_img_per_sec = None
+    if os.environ.get("RCOT_BENCH_INFER", "1") not in ("", "0"):
         from rcot_tpu.models.restormer import apply_tnet
-        x = jnp.asarray(rng.uniform(size=(1, 256, 256, 3)),
-                        jnp.bfloat16 if cfg.train.dtype == "bfloat16"
-                        else jnp.float32)
         fwd = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
-        out = fwd(state.t_params, x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(10):
+        dt_infer = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+        for b, tag in ((1, "b1"), (4, "b4")):
+            x = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), dt_infer)
             out = fwd(state.t_params, x)
-        jax.block_until_ready(out)
-        infer_img_per_sec = round(10 / (time.perf_counter() - t0), 3)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = fwd(state.t_params, x)
+            jax.block_until_ready(out)
+            rate = round(10 * b / (time.perf_counter() - t0), 3)
+            if b == 1:
+                infer_img_per_sec = rate
+            else:
+                infer_b4_img_per_sec = rate
 
     print(json.dumps({
         "metric": "rcot_minimax_train_throughput_128px",
@@ -150,6 +162,7 @@ def main():
             "breakeven_a100_util": round(breakeven_util, 4)
             if breakeven_util else None,
             "infer_256px_img_per_sec": infer_img_per_sec,
+            "infer_256px_batch4_img_per_sec": infer_b4_img_per_sec,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -1,5 +1,9 @@
-"""CLI glue tests: flag parsing, preset overlays, reference-flag aliases."""
+"""CLI glue tests: flag parsing, preset overlays, reference-flag aliases,
+and an end-to-end tester drive (batched inference + LPIPS)."""
 
+import os
+
+import numpy as np
 import pytest
 
 from rcot_tpu.cli.train import build_parser, overlay_config
@@ -84,3 +88,44 @@ class TestTestCLI:
         assert args.tile == 0
         assert args.noise_sigma == 0.0
         assert args.seed == 1850  # tester_noise.py:12 parity
+
+
+class TestTesterCLI:
+    @pytest.mark.slow
+    def test_rcot_test_batched_with_lpips(self, tiny_config, tmp_path, capsys):
+        """Drive the tester CLI end-to-end: tiny checkpoint -> folder
+        restoration with --batch 2 (bucket-grouped batching) and --lpips;
+        outputs + metrics printed, PNGs written (reference: tester.py)."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.test import main as test_main
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), tiny_config)
+        ckpt = save_checkpoint(
+            str(tmp_path / "m_step0"), state,
+            metadata={"config": tiny_config.to_dict()})
+
+        rng = np.random.default_rng(0)
+        deg_dir, tar_dir = tmp_path / "deg", tmp_path / "tar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        for i in range(3):  # two share a bucket, one differs
+            h, w = (40, 44) if i < 2 else (52, 36)
+            tar = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            deg = np.clip(tar.astype(int) + rng.integers(-40, 40, tar.shape),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(deg).save(deg_dir / f"im{i}.png")
+            Image.fromarray(tar).save(tar_dir / f"im{i}.png")
+
+        out_dir = tmp_path / "out"
+        test_main([
+            "--ckpt", ckpt, "--degset", str(deg_dir), "--tarset", str(tar_dir),
+            "--save", str(out_dir) + "/", "--savetar", str(tmp_path / "st") + "/",
+            "--saveres", str(tmp_path / "sr") + "/", "--batch", "2", "--lpips",
+        ])
+        got = capsys.readouterr().out
+        assert "PSNR: average" in got and "LPIPS: average" in got
+        assert sorted(os.listdir(out_dir)) == ["im0.png", "im1.png", "im2.png"]
