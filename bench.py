@@ -64,18 +64,46 @@ def main():
     paired = jnp.array(True)
     lr = jnp.float32(1e-4)
 
-    # AOT compile ONCE; reuse the compiled object for timing.
-    step = jax.jit(make_train_iteration(cfg), donate_argnums=(0,)).lower(
-        state, batch, key, paired, lr).compile()
+    # AOT compile ONCE; reuse the compiled object for timing. The sandbox's
+    # remote TPU compile helper intermittently dies with an opaque HTTP 500
+    # (perf/probe_r2.jsonl records both failures and later successes of the
+    # IDENTICAL program), so: retry a few times, then fall back to the
+    # Pallas-free lowering — a slower number beats no number.
+    def compile_step():
+        return jax.jit(make_train_iteration(cfg), donate_argnums=(0,)).lower(
+            state, batch, key, paired, lr).compile()
+
+    step = None
+    for attempt in range(3):
+        try:
+            step = compile_step()
+            break
+        except Exception as e:
+            print(f"compile attempt {attempt + 1} failed: {e!r}"[:300],
+                  file=sys.stderr)
+            time.sleep(10)
+    if step is None:
+        from rcot_tpu.ops import dispatch
+        os.environ["RCOT_PALLAS_FUSED"] = "0"
+        os.environ["RCOT_PALLAS"] = "0"
+        dispatch.pallas_enabled.cache_clear()
+        print("falling back to the XLA-only lowering", file=sys.stderr)
+        step = compile_step()
 
     # FLOPs of one iteration for the A100 estimate. XLA's cost analysis
-    # cannot see inside pallas_call, so count on a kernel-free lowering of
-    # the SAME iteration (trace-time switch; lowering does not compile).
+    # cannot see inside pallas_call, so count on a kernel-free lowering —
+    # and count the REFERENCE algorithm (two T forwards per iteration,
+    # trainer.py:271,318): the baseline is "the reference trainer on an
+    # A100", and eager PyTorch executes both forwards. Our measured program
+    # hoists one of them (train/steps.py single-forward structure); that is
+    # a speedup over the baseline, not a change to it.
     flops = None
     try:
         from rcot_tpu.ops import dispatch
         prev = os.environ.get("RCOT_PALLAS")
+        prev_sf = os.environ.get("RCOT_SINGLE_FWD")
         os.environ["RCOT_PALLAS"] = "0"
+        os.environ["RCOT_SINGLE_FWD"] = "0"
         dispatch.pallas_enabled.cache_clear()
         # abstract inputs + CPU default device: lowering never touches the
         # (possibly remote) accelerator and cost_analysis works everywhere
@@ -89,6 +117,10 @@ def main():
             os.environ.pop("RCOT_PALLAS")
         else:
             os.environ["RCOT_PALLAS"] = prev
+        if prev_sf is None:
+            os.environ.pop("RCOT_SINGLE_FWD")
+        else:
+            os.environ["RCOT_SINGLE_FWD"] = prev_sf
         dispatch.pallas_enabled.cache_clear()
         cost = ref_lowered.cost_analysis()
         if isinstance(cost, list):
@@ -127,22 +159,25 @@ def main():
     infer_img_per_sec = None
     infer_b4_img_per_sec = None
     if os.environ.get("RCOT_BENCH_INFER", "1") not in ("", "0"):
-        from rcot_tpu.models.restormer import apply_tnet
-        fwd = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
-        dt_infer = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
-        for b, tag in ((1, "b1"), (4, "b4")):
-            x = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), dt_infer)
-            out = fwd(state.t_params, x)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(10):
+        try:
+            from rcot_tpu.models.restormer import apply_tnet
+            fwd = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
+            dt_infer = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+            for b, tag in ((1, "b1"), (4, "b4")):
+                x = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), dt_infer)
                 out = fwd(state.t_params, x)
-            jax.block_until_ready(out)
-            rate = round(10 * b / (time.perf_counter() - t0), 3)
-            if b == 1:
-                infer_img_per_sec = rate
-            else:
-                infer_b4_img_per_sec = rate
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    out = fwd(state.t_params, x)
+                jax.block_until_ready(out)
+                rate = round(10 * b / (time.perf_counter() - t0), 3)
+                if b == 1:
+                    infer_img_per_sec = rate
+                else:
+                    infer_b4_img_per_sec = rate
+        except Exception as e:  # never lose the training metric to this
+            print(f"inference bench failed: {e!r}"[:300], file=sys.stderr)
 
     print(json.dumps({
         "metric": "rcot_minimax_train_throughput_128px",

@@ -56,9 +56,34 @@ def init_transformer_block(key, dim: int, num_heads: int, ffn_factor: float,
 
 
 def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
+    from ..ops import dispatch
+    if (dispatch.pallas_enabled() and dispatch.pallas_block_on()
+            and "b" not in p["attn"]["qkv"] and not dispatch.any_ablate()):
+        # Whole-block fused path (ops/pallas_block.py): LN1+qkv+dw in one
+        # kernel, XLA attention core, proj+residual+LN2+GDFN+residual in a
+        # second kernel — no per-block elementwise passes left to XLA.
+        from ..ops.attention import mdta_core
+        from ..ops.pallas_block import block_head, block_tail
+        interp = dispatch.pallas_interpret()
+        at, f = p["attn"], p["ffn"]
+        qkv = block_head(
+            x, jnp.asarray(p["norm1"]["w"]), _ln_b(p["norm1"]),
+            at["qkv"]["w"][0, 0].astype(x.dtype),
+            at["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype), interpret=interp)
+        a = mdta_core(at, qkv, num_heads)
+        return block_tail(
+            x, a, at["proj"]["w"][0, 0].astype(x.dtype),
+            jnp.asarray(p["norm2"]["w"]), _ln_b(p["norm2"]),
+            f["proj_in"]["w"][0, 0].astype(x.dtype),
+            f["dw"]["w"][:, :, 0, :].astype(x.dtype),
+            f["proj_out"]["w"][0, 0].astype(x.dtype), interpret=interp)
     x = x + mdta(p["attn"], layernorm(p["norm1"], x), num_heads)
     x = x + gdfn(p["ffn"], layernorm(p["norm2"], x))
     return x
+
+
+def _ln_b(norm_params: dict):
+    return jnp.asarray(norm_params["b"]) if "b" in norm_params else None
 
 
 def init_block_stack(key, n: int, dim: int, num_heads: int, ffn_factor: float,

@@ -53,6 +53,27 @@ def mdta_attend(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def mdta_core(p: dict, qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Attention core given the post-dwconv qkv tensor: head split,
+    normalize/attend/softmax, merge back to NHWC — everything between the
+    fused block-head and block-tail kernels (ops/pallas_block.py)."""
+    from . import dispatch
+
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
+    temp = jnp.asarray(p["temperature"])
+    if dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
+        from .pallas_mdta import mdta_attend_pallas
+        out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
+                                 dispatch.pallas_interpret())
+    else:
+        out = mdta_attend(qkv[0], qkv[1], qkv[2], temp)
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
+
+
 def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     """x: (B, H, W, C) -> (B, H, W, C).
 

@@ -59,6 +59,18 @@ def ablate(part: str) -> bool:
     return part in os.environ.get("RCOT_ABLATE", "").split(",")
 
 
+def pallas_block_on() -> bool:
+    """Whole-block fused kernels (ops/pallas_block.py): [LN1+qkv+dw] head and
+    [proj+residual+LN2+GDFN+residual] tail — supersede the pallas_fused sites
+    when active, folding every per-block elementwise/HBM pass into the two
+    kernels. Opt-in (RCOT_PALLAS_BLOCK=1) until measured faster in-model."""
+    return os.environ.get("RCOT_PALLAS_BLOCK", "0") not in ("", "0")
+
+
+def any_ablate() -> bool:
+    return bool(os.environ.get("RCOT_ABLATE"))
+
+
 def pallas_mdta_on() -> bool:
     """The fused MDTA kernel is opt-in (RCOT_PALLAS_MDTA=1): measured on v5e
     it wins only for small-N many-head shapes and loses at level-1 sizes."""

@@ -1,0 +1,556 @@
+"""Fused transformer-block kernels: LN + qkv head, proj + LN + GDFN tail.
+
+Extends ops/pallas_fused.py (which fuses [1x1 -> dw3x3 -> gate -> 1x1]) by
+folding the remaining per-block elementwise/HBM-bound ops into the same two
+Pallas sites, so one Restormer TransformerBlock
+(reference: Net_Restormer.py:201-214) runs as:
+
+  kernel 1 (head): qkv = dw3x3( LN1(x) @ W_qkv )
+  XLA:             attention core (head transposes + CxC einsums + softmax
+                   — measured ~2% of the iteration, BENCH.md ablations)
+  kernel 2 (tail): t = x + attn @ W_proj
+                   y = t + ( gelu-gate( dw3x3( LN2(t) @ W_in ) ) ) @ W_out
+
+Every elementwise pass XLA ran between the round-2 kernels (2 LayerNorms,
+the attention output projection, both residual adds) becomes VMEM-local:
+per block the HBM traffic drops to x read + qkv write (head), attn read +
+x read + y write (tail).
+
+Both kernels carry fused recompute-based backwards (custom VJP): only x /
+attn / the cotangent are read, all intermediates (t, LN stats, h, conv,
+gate) are rebuilt in VMEM; dx plus every weight grad (including dW_ln,
+db_ln, dW_proj) accumulate into grid-revisited blocks.
+
+LayerNorm semantics are pinned to ops/layernorm.py (reference
+Net_Restormer.py:158-200): fp32 stats, biased variance, eps=1e-5 inside the
+sqrt; BiasFree does NOT center the activations but uses the variance about
+the mean. The BiasFree backward is therefore nonstandard:
+  dt = inv * gw - inv^3 * (t - mu) * mean(gw * t),   gw = du * w_ln
+(derived from y_i = t_i * inv * w_i with inv = (var+eps)^-1/2).
+
+Numerics: matmuls accumulate fp32 (bf16 operands in forward; fp32 operands
+in backward — bf16-operand backward matmul variants crash the sandbox's
+remote TPU compile helper, see ops/pallas_fused.py). LN math in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fused import (_M_PAD, _bwd_dot, _colpad, _dw9, _full_spec,
+                           _gelu, _gelu_grad, _matmul, _pick_th, _row_specs)
+
+_LN_EPS = 1e-5
+
+
+def _ln_fwd(t, ln_w, ln_b):
+    """LayerNorm matching ops/layernorm.py, on a (rows, W, C) fp32 band.
+    Returns (u_fp32, mean, inv)."""
+    mean = jnp.mean(t, axis=-1, keepdims=True)
+    ctr = t - mean
+    var = jnp.mean(ctr * ctr, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    if ln_b is not None:
+        u = ctr * inv * ln_w + ln_b
+    else:
+        u = t * inv * ln_w  # BiasFree: uncentered, var about mean
+    return u, mean, inv
+
+
+# ------------------------------------------------------------------ forward
+
+def _fwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
+                has_in: bool, has_out: bool, residual: bool):
+    i = 0
+    x_up, x_mid, x_dn = refs[i:i + 3]
+    i += 3
+    if has_pre:
+        a_up, a_mid, a_dn = refs[i:i + 3]
+        i += 3
+        w_pre = refs[i]
+        i += 1
+    ln_w = refs[i]
+    i += 1
+    ln_b = refs[i] if ln_bias else None
+    i += 1 if ln_bias else 0
+    w_in = refs[i] if has_in else None
+    i += 1 if has_in else 0
+    dwk = refs[i]
+    i += 1
+    w_out = refs[i] if has_out else None
+    i += 1 if has_out else 0
+    out_ref = refs[-1]
+
+    r = pl.program_id(1)
+    nr = pl.num_programs(1)
+    w_dim = x_mid.shape[2]
+    cin = x_mid.shape[3]
+
+    def band(up_r, mid_r, dn_r):
+        up = jnp.where(r > 0, up_r[0, 0], jnp.zeros_like(up_r[0, 0]))
+        dn = jnp.where(r < nr - 1, dn_r[0, 0], jnp.zeros_like(dn_r[0, 0]))
+        return jnp.concatenate([up[None], mid_r[0], dn[None]], axis=0)
+
+    xb = band(x_up, x_mid, x_dn)  # (TH+2, W, C)
+    if has_pre:
+        ab = band(a_up, a_mid, a_dn)
+        ca = ab.shape[-1]
+        pre = _matmul(ab.reshape((th + 2) * w_dim, ca), w_pre[:], xb.dtype)
+        t = xb + pre.reshape(th + 2, w_dim, cin)
+    else:
+        t = xb
+
+    u, _, _ = _ln_fwd(t.astype(jnp.float32), ln_w[0].astype(jnp.float32),
+                      ln_b[0].astype(jnp.float32) if ln_bias else None)
+    u = u.astype(xb.dtype)
+
+    if has_in:
+        h2 = _matmul(u.reshape((th + 2) * w_dim, cin), w_in[:], xb.dtype)
+        h = h2.reshape(th + 2, w_dim, w_in.shape[1])
+    else:
+        h = u
+    # The conv's zero padding applies to h (post-LN), not x: out-of-image
+    # halo rows were zeroed in xb, but LN(0) = ln_b != 0 when biased, so
+    # re-zero them here.
+    htop = jnp.where(r > 0, h[0], jnp.zeros_like(h[0]))
+    hbot = jnp.where(r < nr - 1, h[th + 1], jnp.zeros_like(h[th + 1]))
+    h = jnp.concatenate([htop[None], h[1:th + 1], hbot[None]], axis=0)
+    conv = _dw9(_colpad(h), dwk[:], th)  # (TH, W, M) fp32
+
+    if gate:
+        half = conv.shape[-1] // 2
+        g = _gelu(conv[..., :half]) * conv[..., half:]
+    else:
+        g = conv
+    g = g.astype(out_ref.dtype)
+
+    if has_out:
+        o = _matmul(g.reshape(th * w_dim, g.shape[-1]), w_out[:],
+                    out_ref.dtype)
+        o = o.reshape(th, w_dim, w_out.shape[1])
+    else:
+        o = g
+    if residual:
+        o = o + t[1:1 + th]
+    out_ref[0] = o
+
+
+def fused_block_fwd(x: jax.Array, a: Optional[jax.Array],
+                    w_pre: Optional[jax.Array], ln_w: jax.Array,
+                    ln_b: Optional[jax.Array], w_in: Optional[jax.Array],
+                    dwk: jax.Array, w_out: Optional[jax.Array],
+                    *, gate: bool, residual: bool,
+                    interpret: bool = False) -> jax.Array:
+    b, h, w_dim, c = x.shape
+    m = dwk.shape[2]
+    mg = m // 2 if gate else m
+    cout = w_out.shape[1] if w_out is not None else mg
+    th = _pick_th(h, w_dim, m, x.dtype.itemsize)
+
+    in_specs = _row_specs(th, w_dim, c, h, halo=1)
+    operands = [x, x, x]
+    if a is not None:
+        in_specs += _row_specs(th, w_dim, a.shape[-1], h, halo=1)
+        operands += [a, a, a]
+        in_specs.append(_full_spec())
+        operands.append(w_pre)
+    in_specs.append(_full_spec())
+    operands.append(ln_w.reshape(1, -1))
+    if ln_b is not None:
+        in_specs.append(_full_spec())
+        operands.append(ln_b.reshape(1, -1))
+    if w_in is not None:
+        in_specs.append(_full_spec())
+        operands.append(w_in)
+    in_specs.append(_full_spec())
+    operands.append(dwk)
+    if w_out is not None:
+        in_specs.append(_full_spec())
+        operands.append(w_out)
+
+    kernel = functools.partial(
+        _inner_fwd, gate=gate, th=th, has_pre=a is not None,
+        ln_bias=ln_b is not None, has_in=w_in is not None,
+        has_out=w_out is not None, residual=residual)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w_dim, cout),
+                               lambda bb, r: (bb, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, cout), x.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+def _inner_fwd(*refs, gate, th, has_pre, ln_bias, has_in, has_out, residual):
+    _fwd_kernel(refs, gate=gate, th=th, has_pre=has_pre, ln_bias=ln_bias,
+                has_in=has_in, has_out=has_out, residual=residual)
+
+
+# ----------------------------------------------------------------- backward
+
+def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
+                has_in: bool, has_out: bool, residual: bool):
+    i = 0
+    x_rows = refs[i:i + 5]
+    i += 5
+    if has_pre:
+        a_rows = refs[i:i + 5]
+        i += 5
+        w_pre = refs[i]
+        i += 1
+    g_rows = refs[i:i + 3]
+    i += 3
+    ln_w = refs[i]
+    i += 1
+    ln_b = refs[i] if ln_bias else None
+    i += 1 if ln_bias else 0
+    w_in = refs[i] if has_in else None
+    i += 1 if has_in else 0
+    dwk = refs[i]
+    i += 1
+    w_out = refs[i] if has_out else None
+    i += 1 if has_out else 0
+    (dx_ref, da_ref, dwpre_ref, dlnw_ref, dlnb_ref, dwin_ref, ddw_ref,
+     dwout_ref) = refs[i:i + 8]
+
+    r = pl.program_id(1)
+    nr = pl.num_programs(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, r == 0)
+    w_dim = x_rows[2].shape[2]
+    cin = x_rows[2].shape[3]
+    m = dwk.shape[2]
+    mh = m // 2 if gate else m
+
+    def band5(rows):
+        up2 = jnp.where(r * th - 2 >= 0, rows[0][0, 0],
+                        jnp.zeros_like(rows[0][0, 0]))
+        up1 = jnp.where(r * th - 1 >= 0, rows[1][0, 0],
+                        jnp.zeros_like(rows[1][0, 0]))
+        dn1 = jnp.where(r < nr - 1, rows[3][0, 0],
+                        jnp.zeros_like(rows[3][0, 0]))
+        dn2 = jnp.where(r * th + th + 1 <= nr * th - 1, rows[4][0, 0],
+                        jnp.zeros_like(rows[4][0, 0]))
+        return jnp.concatenate([up2[None], up1[None], rows[2][0],
+                                dn1[None], dn2[None]], axis=0)
+
+    xb = band5(x_rows)  # (TH+4, W, C)
+    if has_pre:
+        ab = band5(a_rows)
+        ca = ab.shape[-1]
+        pre = _matmul(ab.reshape((th + 4) * w_dim, ca), w_pre[:], xb.dtype)
+        t = xb + pre.reshape(th + 4, w_dim, cin)
+    else:
+        t = xb
+
+    gup = jnp.where(r > 0, g_rows[0][0, 0], jnp.zeros_like(g_rows[0][0, 0]))
+    gdn = jnp.where(r < nr - 1, g_rows[2][0, 0],
+                    jnp.zeros_like(g_rows[2][0, 0]))
+    gb = jnp.concatenate([gup[None], g_rows[1][0], gdn[None]], axis=0)
+
+    # recompute LN over the TH+4 band (stats reused for the mid-row backward)
+    tf = t.astype(jnp.float32)
+    lw = ln_w[0].astype(jnp.float32)
+    lb = ln_b[0].astype(jnp.float32) if ln_bias else None
+    u_f32, mean, inv = _ln_fwd(tf, lw, lb)
+    u = u_f32.astype(xb.dtype)
+
+    if has_in:
+        h2 = _matmul(u.reshape((th + 4) * w_dim, cin), w_in[:], xb.dtype)
+        h = h2.reshape(th + 4, w_dim, m)
+    else:
+        h = u
+    # Zero-pad semantics apply to h, not x (see forward kernel note): zero
+    # the out-of-image rows of the TH+4 band [rTH-2, rTH+TH+2).
+    z = jnp.zeros_like(h[0])
+    h = jnp.concatenate([
+        jnp.where(r * th - 2 >= 0, h[0], z)[None],
+        jnp.where(r * th - 1 >= 0, h[1], z)[None],
+        h[2:th + 2],
+        jnp.where(r < nr - 1, h[th + 2], z)[None],
+        jnp.where(r * th + th + 1 <= nr * th - 1, h[th + 3], z)[None],
+    ], axis=0)
+    hp = _colpad(h)
+    conv = _dw9(hp, dwk[:], th + 2)  # rows [rTH-1, rTH+TH+1), fp32
+
+    # NOTE: fp32-operand backward matmuls — bf16 variants crash the remote
+    # TPU compile helper (ops/pallas_fused.py).
+    if has_out:
+        co = w_out.shape[1]
+        dg2 = _bwd_dot(gb.reshape((th + 2) * w_dim, co), w_out[:],
+                       ((1,), (1,)))
+        dgate = dg2.reshape(th + 2, w_dim, mh)
+    else:
+        dgate = gb.astype(jnp.float32)
+
+    if gate:
+        x1 = conv[..., :mh]
+        x2 = conv[..., mh:]
+        dconv = jnp.concatenate(
+            [dgate * x2 * _gelu_grad(x1), dgate * _gelu(x1)], axis=-1)
+    else:
+        dconv = dgate
+
+    # dh for mid rows (correlation with rot180(dwk), as in pallas_fused)
+    dcp = _colpad(dconv)
+    dh = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = dcp[2 - dy:2 - dy + th, 2 - dx:2 - dx + w_dim, :]
+            term = tap * dwk[dy, dx, :].astype(jnp.float32)
+            dh = term if dh is None else dh + term
+
+    if has_in:
+        du = _bwd_dot(dh.reshape(th * w_dim, m), w_in[:],
+                      ((1,), (1,))).reshape(th, w_dim, cin)
+    else:
+        du = dh
+
+    # LayerNorm backward on the mid rows.
+    t_mid = tf[2:2 + th]
+    mu_mid = mean[2:2 + th]
+    inv_mid = inv[2:2 + th]
+    gw = du * lw
+    if ln_bias:
+        that = (t_mid - mu_mid) * inv_mid
+        dt_mid = inv_mid * (
+            gw - jnp.mean(gw, axis=-1, keepdims=True)
+            - that * jnp.mean(gw * that, axis=-1, keepdims=True))
+        that_for_w = that
+    else:
+        dt_mid = (inv_mid * gw
+                  - (inv_mid ** 3) * (t_mid - mu_mid)
+                  * jnp.mean(gw * t_mid, axis=-1, keepdims=True))
+        that_for_w = t_mid * inv_mid
+
+    if residual:
+        dt_mid = dt_mid + gb[1:1 + th].astype(jnp.float32)
+
+    dx_ref[0] = dt_mid.astype(dx_ref.dtype)
+    if has_pre:
+        da2 = _bwd_dot(dt_mid.reshape(th * w_dim, cin), w_pre[:],
+                       ((1,), (1,)))
+        da_ref[0] = da2.reshape(th, w_dim, ca).astype(da_ref.dtype)
+
+    # ---- accumulated weight grads ----
+    @pl.when(first)
+    def _():
+        dwpre_ref[...] = jnp.zeros_like(dwpre_ref)
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+        ddw_ref[...] = jnp.zeros_like(ddw_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+
+    if has_pre:
+        am = ab[2:2 + th].reshape(th * w_dim, ca)
+        dwpre_ref[...] += _bwd_dot(am, dt_mid.reshape(th * w_dim, cin),
+                                   ((0,), (0,)))
+
+    dlnw_ref[...] += jnp.sum(du * that_for_w, axis=(0, 1))[None]
+    if ln_bias:
+        dlnb_ref[...] += jnp.sum(du, axis=(0, 1))[None]
+
+    if has_in:
+        um = u[2:2 + th].reshape(th * w_dim, cin)
+        dwin_ref[...] += _bwd_dot(um, dh.reshape(th * w_dim, m),
+                                  ((0,), (0,)))
+
+    dconv_mid = dconv[1:1 + th]
+    for dy in range(3):
+        for dx in range(3):
+            tap = hp[1 + dy:1 + dy + th, dx:dx + w_dim, :].astype(jnp.float32)
+            ddw_ref[dy, dx, :] += jnp.sum(dconv_mid * tap, axis=(0, 1))
+
+    if has_out:
+        conv_mid = conv[1:1 + th]
+        if gate:
+            gate_mid = _gelu(conv_mid[..., :mh]) * conv_mid[..., mh:]
+        else:
+            gate_mid = conv_mid
+        gm = gate_mid.reshape(th * w_dim, mh)
+        g2 = g_rows[1][0].reshape(th * w_dim, w_out.shape[1])
+        dwout_ref[...] += _bwd_dot(gm, g2, ((0,), (0,)))
+
+
+def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
+                    *, gate: bool, residual: bool, interpret: bool = False):
+    b, h, w_dim, c = x.shape
+    m = dwk.shape[2]
+    has_pre = a is not None
+    has_in = w_in is not None
+    has_out = w_out is not None
+    ln_bias = ln_b is not None
+    mh = m // 2 if gate else m
+    co = w_out.shape[1] if has_out else mh
+    ca = a.shape[-1] if has_pre else 1
+    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=4 * 1024 * 1024)
+
+    in_specs = _row_specs(th, w_dim, c, h, halo=2)
+    operands = [x] * 5
+    if has_pre:
+        in_specs += _row_specs(th, w_dim, ca, h, halo=2)
+        operands += [a] * 5
+        in_specs.append(_full_spec())
+        operands.append(w_pre)
+    in_specs += _row_specs(th, w_dim, co, h, halo=1)
+    operands += [g] * 3
+    in_specs.append(_full_spec())
+    operands.append(ln_w.reshape(1, -1))
+    if ln_bias:
+        in_specs.append(_full_spec())
+        operands.append(ln_b.reshape(1, -1))
+    if has_in:
+        in_specs.append(_full_spec())
+        operands.append(w_in)
+    in_specs.append(_full_spec())
+    operands.append(dwk)
+    if has_out:
+        in_specs.append(_full_spec())
+        operands.append(w_out)
+
+    da_shape = (b, h, w_dim, ca) if has_pre else (1, 1, 1, 1)
+    wpre_shape = (ca, c) if has_pre else (1, 1)
+    lnb_shape = (1, c) if ln_bias else (1, 1)
+    win_shape = (c, m) if has_in else (1, 1)
+    wout_shape = (mh, co) if has_out else (1, 1)
+
+    kernel = functools.partial(
+        _inner_bwd, gate=gate, th=th, has_pre=has_pre, ln_bias=ln_bias,
+        has_in=has_in, has_out=has_out, residual=residual)
+
+    const = lambda bb, r: (0, 0)  # noqa: E731
+    const3 = lambda bb, r: (0, 0, 0)  # noqa: E731
+    const4 = lambda bb, r: (0, 0, 0, 0)  # noqa: E731
+    da_spec = (pl.BlockSpec((1, th, w_dim, ca), lambda bb, r: (bb, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+               if has_pre else
+               pl.BlockSpec((1, 1, 1, 1), const4, memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, th, w_dim, c), lambda bb, r: (bb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            da_spec,
+            pl.BlockSpec(wpre_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lnb_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(win_shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, m), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wout_shape, const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w_dim, c), x.dtype),
+            jax.ShapeDtypeStruct(da_shape, x.dtype),
+            jax.ShapeDtypeStruct(wpre_shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct(lnb_shape, jnp.float32),
+            jax.ShapeDtypeStruct(win_shape, jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, m), jnp.float32),
+            jax.ShapeDtypeStruct(wout_shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return outs
+
+
+def _inner_bwd(*refs, gate, th, has_pre, ln_bias, has_in, has_out, residual):
+    _bwd_kernel(refs, gate=gate, th=th, has_pre=has_pre, ln_bias=ln_bias,
+                has_in=has_in, has_out=has_out, residual=residual)
+
+
+# -------------------------------------------------------------- custom vjp
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_block(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out,
+                gate=False, residual=False, interpret=False):
+    """Differentiable fused [x + a@W_pre ->] LN -> [1x1 ->] dw3x3
+    [-> gelu-gate] [-> 1x1] [-> + t].
+
+    a/w_pre/ln_b/w_in/w_out may be None. Gradients flow to x, a, and all
+    present weights; fwd saves only the inputs — everything else is
+    recomputed in VMEM by the backward kernel.
+    """
+    return fused_block_fwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out,
+                           gate=gate, residual=residual, interpret=interpret)
+
+
+def _vjp_fwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, gate, residual,
+             interpret):
+    out = fused_block_fwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out,
+                          gate=gate, residual=residual, interpret=interpret)
+    return out, (x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out)
+
+
+def _vjp_bwd(gate, residual, interpret, res, g):
+    x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out = res
+    (dx, da, dwpre, dlnw, dlnb, dwin, ddw, dwout) = fused_block_bwd(
+        x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
+        gate=gate, residual=residual, interpret=interpret)
+    return (dx,
+            da if a is not None else None,
+            dwpre.astype(w_pre.dtype) if w_pre is not None else None,
+            dlnw[0].astype(ln_w.dtype),
+            dlnb[0].astype(ln_b.dtype) if ln_b is not None else None,
+            dwin.astype(w_in.dtype) if w_in is not None else None,
+            ddw.astype(dwk.dtype),
+            dwout.astype(w_out.dtype) if w_out is not None else None)
+
+
+fused_block.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------------ module-level
+
+def block_head(x: jax.Array, ln_w: jax.Array, ln_b: Optional[jax.Array],
+               w_qkv: jax.Array, dwk: jax.Array,
+               *, interpret: bool = False) -> jax.Array:
+    """LN1 + qkv 1x1 + depthwise 3x3 in one kernel (the MDTA input path,
+    reference Net_Restormer.py:35-38 with the block's norm1 folded in)."""
+    m = dwk.shape[2]
+    m_pad = _M_PAD.get(m, m)
+    if m_pad != m:
+        w_qkv = jnp.pad(w_qkv, ((0, 0), (0, m_pad - m)))
+        dwk = jnp.pad(dwk, ((0, 0), (0, 0), (0, m_pad - m)))
+        out = fused_block(x, None, None, ln_w, ln_b, w_qkv, dwk, None,
+                          False, False, interpret)
+        return out[..., :m]
+    return fused_block(x, None, None, ln_w, ln_b, w_qkv, dwk, None,
+                       False, False, interpret)
+
+
+def block_tail(x: jax.Array, attn: jax.Array, w_proj: jax.Array,
+               ln_w: jax.Array, ln_b: Optional[jax.Array],
+               w_in: jax.Array, dwk: jax.Array, w_out: jax.Array,
+               *, interpret: bool = False) -> jax.Array:
+    """proj + residual + LN2 + whole GDFN + residual in one kernel
+    (reference Net_Restormer.py:49,211-214,67-85 fused).
+
+    Unaligned gate halves are zero-padded to a 128 lane boundary exactly as
+    in ops/pallas_fused.py (dead channels contribute exactly zero)."""
+    m = dwk.shape[2]
+    half = m // 2
+    pad_half = (-half) % 128
+    if pad_half:
+        z_in = jnp.zeros((w_in.shape[0], pad_half), w_in.dtype)
+        w_in = jnp.concatenate(
+            [w_in[:, :half], z_in, w_in[:, half:], z_in], axis=1)
+        z_dw = jnp.zeros((3, 3, pad_half), dwk.dtype)
+        dwk = jnp.concatenate(
+            [dwk[..., :half], z_dw, dwk[..., half:], z_dw], axis=-1)
+        z_out = jnp.zeros((pad_half, w_out.shape[1]), w_out.dtype)
+        w_out = jnp.concatenate([w_out, z_out], axis=0)
+    return fused_block(x, attn, w_proj, ln_w, ln_b, w_in, dwk, w_out,
+                       True, True, interpret)

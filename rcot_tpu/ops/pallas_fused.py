@@ -90,6 +90,25 @@ def _matmul(a2d, w, out_dtype):
         preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def _bwd_dot_dtype():
+    """Operand dtype for the backward kernels' matmuls. Default fp32: the
+    bf16-operand variants crash the sandbox's remote TPU compile helper on
+    some shapes (opaque HTTP 500, see module docstring). RCOT_BWD_BF16=1
+    re-enables bf16 operands (2x MXU rate) for re-probing as the toolchain
+    moves; fp32 accumulation either way."""
+    import os
+    if os.environ.get("RCOT_BWD_BF16", "0") not in ("", "0"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _bwd_dot(a2d, b2d, contract):
+    dt = _bwd_dot_dtype()
+    return jax.lax.dot_general(
+        a2d.astype(dt), b2d.astype(dt), (contract, ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(x_up, x_mid, x_dn, w_in, dwk, w_out, out_ref,
@@ -280,11 +299,8 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
     # toolchain moves.
     if has_out:
         co = w_out.shape[1]
-        dg2 = jax.lax.dot_general(
-            gb.reshape((th + 2) * w_dim, co).astype(jnp.float32),
-            w_out[:].astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dg2 = _bwd_dot(gb.reshape((th + 2) * w_dim, co), w_out[:],
+                       ((1,), (1,)))
         dgate = dg2.reshape(th + 2, w_dim, mh)
     else:
         dgate = gb.astype(jnp.float32)
@@ -314,10 +330,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
 
     # dx = dh @ W_in^T (mid rows)
     if has_in:
-        dx2 = jax.lax.dot_general(
-            dh.reshape(th * w_dim, m), w_in[:].astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dx2 = _bwd_dot(dh.reshape(th * w_dim, m), w_in[:], ((1,), (1,)))
         dx_ref[0] = dx2.reshape(th, w_dim, cin).astype(dx_ref.dtype)
     else:
         dx_ref[0] = dh.astype(dx_ref.dtype)
@@ -331,10 +344,9 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
 
     if has_in:
         # dW_in += x_mid^T @ dh  (mid rows only: each row counted once)
-        xm = xb[2:2 + th].reshape(th * w_dim, cin).astype(jnp.float32)
-        dwin_ref[...] += jax.lax.dot_general(
-            xm, dh.reshape(th * w_dim, m),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        xm = xb[2:2 + th].reshape(th * w_dim, cin)
+        dwin_ref[...] += _bwd_dot(xm, dh.reshape(th * w_dim, m),
+                                  ((0,), (0,)))
 
     # ddwk[dy,dx,c] += sum over mid out rows of dconv_mid * h taps
     dconv_mid = dconv[1:1 + th]  # band row 1 = abs row rTH
@@ -352,11 +364,8 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
         else:
             gate_mid = conv_mid
         gm = gate_mid.reshape(th * w_dim, mh)
-        g2 = g_rows[1][0].reshape(th * w_dim,
-                                  w_out.shape[1]).astype(jnp.float32)
-        dwout_ref[...] += jax.lax.dot_general(
-            gm, g2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        g2 = g_rows[1][0].reshape(th * w_dim, w_out.shape[1])
+        dwout_ref[...] += _bwd_dot(gm, g2, ((0,), (0,)))
 
 
 def fused_dwconv_bwd(x: jax.Array, w_in: Optional[jax.Array],

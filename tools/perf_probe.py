@@ -38,6 +38,12 @@ def emit(rec):
         rec["ablate"] = os.environ["RCOT_ABLATE"]
     from rcot_tpu.ops import dispatch
     rec["fused"] = bool(dispatch.pallas_enabled() and dispatch.pallas_fused_on())
+    if dispatch.pallas_enabled() and dispatch.pallas_block_on():
+        rec["block"] = True
+    if os.environ.get("RCOT_BWD_BF16"):
+        rec["bwd_bf16"] = True
+    if os.environ.get("RCOT_SINGLE_FWD"):
+        rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
