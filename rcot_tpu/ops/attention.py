@@ -59,13 +59,21 @@ def mdta_core(p: dict, qkv: jax.Array, num_heads: int) -> jax.Array:
     fused block-head and block-tail kernels (ops/pallas_block.py)."""
     from . import dispatch
 
+    if (dispatch.pallas_enabled() and dispatch.pallas_gram_on()
+            and not dispatch.ablate("attn_core")):
+        from .pallas_gram import mdta_core_gram
+        return mdta_core_gram(p["temperature"], qkv, num_heads,
+                              interpret=dispatch.pallas_interpret())
+
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     ch = c // num_heads
     qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
     qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
     temp = jnp.asarray(p["temperature"])
-    if dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
+    if dispatch.ablate("attn_core"):
+        out = qkv[2]  # measurement-only: keep transposes, skip the math
+    elif dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
         from .pallas_mdta import mdta_attend_pallas
         out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
                                  dispatch.pallas_interpret())
@@ -115,19 +123,4 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
         # measurement-only: skip the head transposes AND the attention core
         # (isolates transpose cost = attn_all share minus attn_core share)
         return conv2d(p["proj"], qkv[..., :c])
-    # NHWC -> (B, heads, c_per_head, HW); channel layout matches the
-    # reference's 'b (head c) h w -> b head c (h w)' split.
-    qkv = qkv.reshape(b, h * w, 3, num_heads, ch)
-    qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, B, heads, ch, HW)
-    temp = jnp.asarray(p["temperature"])
-    if dispatch.ablate("attn_core"):
-        out = qkv[2]  # measurement-only: skip normalize/attn/softmax math
-    elif dispatch.pallas_enabled() and dispatch.pallas_mdta_on():
-        from .pallas_mdta import mdta_attend_pallas
-        out = mdta_attend_pallas(qkv[0], qkv[1], qkv[2], temp,
-                                 dispatch.pallas_interpret())
-    else:
-        out = mdta_attend(qkv[0], qkv[1], qkv[2], temp)
-
-    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
-    return conv2d(p["proj"], out)
+    return conv2d(p["proj"], mdta_core(p, qkv, num_heads))

@@ -63,8 +63,19 @@ def pallas_block_on() -> bool:
     """Whole-block fused kernels (ops/pallas_block.py): [LN1+qkv+dw] head and
     [proj+residual+LN2+GDFN+residual] tail — supersede the pallas_fused sites
     when active, folding every per-block elementwise/HBM pass into the two
-    kernels. Opt-in (RCOT_PALLAS_BLOCK=1) until measured faster in-model."""
-    return os.environ.get("RCOT_PALLAS_BLOCK", "0") not in ("", "0")
+    kernels. Default ON on TPU: measured 0.1148 -> 0.1078 s/iter on the
+    canonical recipe with the per-shape backward band budgets
+    (perf/probe_r2.jsonl, bisect_block.jsonl). RCOT_PALLAS_BLOCK=0 disables
+    (falls back to the round-2 pallas_fused sites)."""
+    return os.environ.get("RCOT_PALLAS_BLOCK", "1") not in ("", "0")
+
+
+def pallas_gram_on() -> bool:
+    """Transpose-free MDTA core (ops/pallas_gram.py): Gram/norm accumulation
+    + apply kernels on NHWC qkv — removes the (3,B,heads,ch,HW) relayouts
+    (~13 ms/iter measured, probe_r2 attn_all vs attn_core ablations).
+    Opt-in (RCOT_PALLAS_GRAM=1) until measured faster in-model."""
+    return os.environ.get("RCOT_PALLAS_GRAM", "0") not in ("", "0")
 
 
 def any_ablate() -> bool:

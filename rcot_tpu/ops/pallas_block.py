@@ -48,6 +48,11 @@ from .pallas_fused import (_M_PAD, _bwd_dot, _colpad, _dw9, _full_spec,
 
 _LN_EPS = 1e-5
 
+# (C, W) pairs whose tail-backward kernel is VERIFIED to compile with a
+# 4 MB band budget (tools/bisect_block.py sweep, perf/bisect_block.jsonl);
+# unlisted shapes use the universally-safe 2 MB.
+_TAIL_BWD_4MB_OK = {(96, 64), (96, 128), (192, 64), (384, 16)}
+
 
 def _ln_fwd(t, ln_w, ln_b):
     """LayerNorm matching ops/layernorm.py, on a (rows, W, C) fp32 band.
@@ -393,7 +398,17 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
     mh = m // 2 if gate else m
     co = w_out.shape[1] if has_out else mh
     ca = a.shape[-1] if has_pre else 1
-    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=4 * 1024 * 1024)
+    # Backward band budget, per shape. The remote TPU compiler crashes
+    # (HTTP 500) on larger row tiles of exactly the tail-backward kernel:
+    # the perf/bisect_block.jsonl sweep shows every tail-bwd shape compiling
+    # at 2 MB and crashing at 8 MB, with 4 MB mixed — so 4 MB only for
+    # (C, W) pairs the sweep verified, 2 MB for anything else. Head backward
+    # is stable at 4 MB everywhere probed.
+    if has_pre:
+        budget = 4 if (c, w_dim) in _TAIL_BWD_4MB_OK else 2
+    else:
+        budget = 4
+    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=budget * 1024 * 1024)
 
     in_specs = _row_specs(th, w_dim, c, h, halo=2)
     operands = [x] * 5

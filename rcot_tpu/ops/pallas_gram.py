@@ -1,0 +1,281 @@
+"""Transpose-free MDTA attention core: Gram accumulation + apply kernels.
+
+Why: the measured cost of MDTA in-model is ~16 ms/iter of which the actual
+attention math is ~3 ms (perf/probe_r2.jsonl ablations attn_all vs
+attn_core) — the rest is the (B,HW,3,heads,ch) <-> (3,B,heads,ch,HW) head
+relayouts XLA materializes around the einsum formulation (which round-1
+measurement showed is the fastest JNP formulation in-graph; the slack is
+only recoverable below XLA, here).
+
+Design: MDTA's attention matrix is channel-by-channel (reference
+Net_Restormer.py:42-45): softmax((q_hat @ k_hat^T) * temperature) with
+q_hat, k_hat L2-normalized along SPATIAL. Both the Gram matrix and the
+norms are plain sums over pixels, so they accumulate across row bands in
+the qkv tensor's NATIVE NHWC layout — no transpose anywhere:
+
+  kernel 1 (gram):  G_raw[b,h] += q_rows^T @ k_rows ;  nq += sum(q^2, rows);
+                    nk += sum(k^2, rows)            (revisited-block accum)
+  XLA glue (tiny, (B,heads,ch,ch)): G_hat = G_raw/(max(sqrt(nq),eps) x
+                    max(sqrt(nk),eps)); attn = softmax(G_hat * temperature)
+                    — exact: G_hat[c,d] = sum_n q[n,c]k[n,d]/(rq[c]rk[d]).
+                    Autodiff of the normalize/softmax/temperature chain is
+                    free (XLA, tiny tensors).
+  kernel 2 (apply): out_rows[:, head h] = v_rows @ attn[h]^T
+
+Custom VJPs:
+  gram bwd: dq[n,c] = sum_d dG[c,d] k[n,d] + 2 q[n,c] dnq[c]  (rowwise,
+            one kernel, no accumulation); dk symmetric; dv = 0.
+  apply bwd: dv_rows = da_rows @ attn[h]  (rowwise) and
+             dattn[h] += da_rows^T @ v_rows  (revisited-block accum),
+             emitted by one kernel.
+
+eps semantics pinned to torch F.normalize (ops/attention.py): 1e-12.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fused import _bwd_dot, _full_spec
+
+_L2_EPS = 1e-12
+
+
+def _row_block(th, w, c):
+    return pl.BlockSpec((1, th, w, c), lambda b, r: (b, r, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _acc_block(shape_tail):
+    nd = len(shape_tail) + 1
+    idx = lambda b, r: (b,) + (0,) * (nd - 1)  # noqa: E731
+    return pl.BlockSpec((1,) + shape_tail, idx, memory_space=pltpu.VMEM)
+
+
+def _pick_rows(h, w, c3, itemsize, budget=4 * 1024 * 1024):
+    for th in (128, 64, 32, 16, 8, 4, 2, 1):
+        if h % th:
+            continue
+        if th * w * c3 * (itemsize + 4) <= budget:
+            return th
+    return 1
+
+
+# ------------------------------------------------------------------- gram
+
+def _gram_fwd_kernel(qkv, gram, nq, nk, *, heads, ch, th):
+    r = pl.program_id(1)
+    c = heads * ch
+    flat = qkv[0].astype(jnp.float32).reshape(th * qkv.shape[2], 3 * c)
+
+    @pl.when(r == 0)
+    def _():
+        gram[...] = jnp.zeros_like(gram)
+        nq[...] = jnp.zeros_like(nq)
+        nk[...] = jnp.zeros_like(nk)
+
+    for h in range(heads):
+        q = flat[:, h * ch:(h + 1) * ch]
+        k = flat[:, c + h * ch:c + (h + 1) * ch]
+        gram[0, h] += jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        nq[0, h] += jnp.sum(q * q, axis=0)
+        nk[0, h] += jnp.sum(k * k, axis=0)
+
+
+def mdta_gram_fwd(qkv: jax.Array, num_heads: int, *, interpret=False):
+    b, hh, w, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    th = _pick_rows(hh, w, c3, qkv.dtype.itemsize)
+    kernel = functools.partial(_gram_fwd_kernel, heads=num_heads, ch=ch,
+                               th=th)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hh // th),
+        in_specs=[_row_block(th, w, c3)],
+        out_specs=(_acc_block((num_heads, ch, ch)),
+                   _acc_block((num_heads, ch)),
+                   _acc_block((num_heads, ch))),
+        out_shape=(jax.ShapeDtypeStruct((b, num_heads, ch, ch), jnp.float32),
+                   jax.ShapeDtypeStruct((b, num_heads, ch), jnp.float32),
+                   jax.ShapeDtypeStruct((b, num_heads, ch), jnp.float32)),
+        interpret=interpret,
+    )(qkv)
+
+
+def _gram_bwd_kernel(qkv, dgram, dnq, dnk, dqkv, *, heads, ch, th):
+    c = heads * ch
+    w = qkv.shape[2]
+    flat = qkv[0].astype(jnp.float32).reshape(th * w, 3 * c)
+    parts = []
+    for h in range(heads):
+        q = flat[:, h * ch:(h + 1) * ch]
+        k = flat[:, c + h * ch:c + (h + 1) * ch]
+        dg = dgram[0, h]
+        dq = _bwd_dot(k, dg, ((1,), (1,))) + 2.0 * q * dnq[0, h][None]
+        parts.append((dq, _bwd_dot(q, dg, ((1,), (0,)))
+                      + 2.0 * k * dnk[0, h][None]))
+    dq_all = jnp.concatenate([p[0] for p in parts], axis=-1)
+    dk_all = jnp.concatenate([p[1] for p in parts], axis=-1)
+    dv_all = jnp.zeros_like(dq_all)
+    out = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
+    dqkv[0] = out.reshape(th, w, 3 * c).astype(dqkv.dtype)
+
+
+def mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads, *, interpret=False):
+    b, hh, w, c3 = qkv.shape
+    ch = (c3 // 3) // num_heads
+    th = _pick_rows(hh, w, c3, qkv.dtype.itemsize)
+    kernel = functools.partial(_gram_bwd_kernel, heads=num_heads, ch=ch,
+                               th=th)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hh // th),
+        in_specs=[_row_block(th, w, c3),
+                  _acc_block((num_heads, ch, ch)),
+                  _acc_block((num_heads, ch)),
+                  _acc_block((num_heads, ch))],
+        out_specs=_row_block(th, w, c3),
+        out_shape=jax.ShapeDtypeStruct((b, hh, w, c3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, dgram, dnq, dnk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def mdta_gram(qkv, num_heads, interpret=False):
+    """(B,H,W,3C) -> (G_raw (B,heads,ch,ch), nq, nk (B,heads,ch)), fp32."""
+    return mdta_gram_fwd(qkv, num_heads, interpret=interpret)
+
+
+def _gram_vjp_fwd(qkv, num_heads, interpret):
+    return mdta_gram_fwd(qkv, num_heads, interpret=interpret), qkv
+
+
+def _gram_vjp_bwd(num_heads, interpret, qkv, gs):
+    dgram, dnq, dnk = gs
+    return (mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads,
+                          interpret=interpret),)
+
+
+mdta_gram.defvjp(_gram_vjp_fwd, _gram_vjp_bwd)
+
+
+# ------------------------------------------------------------------ apply
+
+def _apply_fwd_kernel(qkv, attn, out, *, heads, ch, th):
+    c = heads * ch
+    w = qkv.shape[2]
+    flat = qkv[0].reshape(th * w, 3 * c)
+    parts = []
+    for h in range(heads):
+        v = flat[:, 2 * c + h * ch:2 * c + (h + 1) * ch]
+        a = attn[0, h].astype(v.dtype)
+        parts.append(jax.lax.dot_general(
+            v, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out.dtype))
+    out[0] = jnp.concatenate(parts, axis=-1).reshape(th, w, c)
+
+
+def attn_apply_fwd(qkv, attn, *, interpret=False):
+    b, hh, w, c3 = qkv.shape
+    c = c3 // 3
+    heads = attn.shape[1]
+    ch = c // heads
+    th = _pick_rows(hh, w, c3, qkv.dtype.itemsize)
+    kernel = functools.partial(_apply_fwd_kernel, heads=heads, ch=ch, th=th)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hh // th),
+        in_specs=[_row_block(th, w, c3), _acc_block((heads, ch, ch))],
+        out_specs=_row_block(th, w, c),
+        out_shape=jax.ShapeDtypeStruct((b, hh, w, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, attn)
+
+
+def _apply_bwd_kernel(qkv, attn, g, dqkv, dattn, *, heads, ch, th):
+    r = pl.program_id(1)
+    c = heads * ch
+    w = qkv.shape[2]
+    flat = qkv[0].reshape(th * w, 3 * c)
+    gflat = g[0].reshape(th * w, c)
+
+    @pl.when(r == 0)
+    def _():
+        dattn[...] = jnp.zeros_like(dattn)
+
+    parts = []
+    for h in range(heads):
+        v = flat[:, 2 * c + h * ch:2 * c + (h + 1) * ch]
+        da = gflat[:, h * ch:(h + 1) * ch]
+        a = attn[0, h]
+        parts.append(_bwd_dot(da, a, ((1,), (0,))))
+        dattn[0, h] += _bwd_dot(da, v, ((0,), (0,)))
+    dv_all = jnp.concatenate(parts, axis=-1)
+    zeros = jnp.zeros((th * w, 2 * c), jnp.float32)
+    out = jnp.concatenate([zeros, dv_all], axis=-1)
+    dqkv[0] = out.reshape(th, w, 3 * c).astype(dqkv.dtype)
+
+
+def attn_apply_bwd(qkv, attn, g, *, interpret=False):
+    b, hh, w, c3 = qkv.shape
+    c = c3 // 3
+    heads = attn.shape[1]
+    ch = c // heads
+    th = _pick_rows(hh, w, c3, qkv.dtype.itemsize)
+    kernel = functools.partial(_apply_bwd_kernel, heads=heads, ch=ch, th=th)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hh // th),
+        in_specs=[_row_block(th, w, c3), _acc_block((heads, ch, ch)),
+                  _row_block(th, w, c)],
+        out_specs=(_row_block(th, w, c3), _acc_block((heads, ch, ch))),
+        out_shape=(jax.ShapeDtypeStruct((b, hh, w, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, heads, ch, ch), jnp.float32)),
+        interpret=interpret,
+    )(qkv, attn, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def attn_apply(qkv, attn, interpret=False):
+    """out[..., head h] = v_rows @ attn[b,h]^T; qkv (B,H,W,3C) NHWC."""
+    return attn_apply_fwd(qkv, attn, interpret=interpret)
+
+
+def _apply_vjp_fwd(qkv, attn, interpret):
+    return attn_apply_fwd(qkv, attn, interpret=interpret), (qkv, attn)
+
+
+def _apply_vjp_bwd(interpret, res, g):
+    qkv, attn = res
+    dqkv, dattn = attn_apply_bwd(qkv, attn, g, interpret=interpret)
+    return dqkv, dattn.astype(attn.dtype)
+
+
+attn_apply.defvjp(_apply_vjp_fwd, _apply_vjp_bwd)
+
+
+# ------------------------------------------------------------ module-level
+
+def mdta_core_gram(temperature: jax.Array, qkv: jax.Array, num_heads: int,
+                   *, interpret: bool = False) -> jax.Array:
+    """Full MDTA attention core on NHWC qkv, no head-relayout transposes.
+
+    Numerically identical to ops/attention.py mdta_attend (the Gram of
+    L2-normalized rows equals the raw Gram scaled by the norms; eps pinned
+    to torch F.normalize's 1e-12), with fp32 accumulation throughout.
+    """
+    gram, nq, nk = mdta_gram(qkv, num_heads, interpret)
+    rq = jnp.maximum(jnp.sqrt(nq), _L2_EPS)
+    rk = jnp.maximum(jnp.sqrt(nk), _L2_EPS)
+    ghat = gram / (rq[..., :, None] * rk[..., None, :])
+    temp = jnp.asarray(temperature).astype(jnp.float32)  # (heads, 1, 1)
+    attn = jax.nn.softmax(ghat * temp[None], axis=-1)
+    return attn_apply(qkv, attn, interpret)

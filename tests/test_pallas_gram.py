@@ -1,0 +1,73 @@
+"""Transpose-free MDTA core (ops/pallas_gram.py) vs the einsum twin.
+
+Interpret-mode on CPU: the Gram-of-normalized-rows identity must reproduce
+mdta_attend's normalize/attend/softmax exactly (fp32), including gradients
+through qkv AND the learned temperature, for 1..4 heads and for a
+non-multiple-of-lane head width (ch=24).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcot_tpu.ops.attention import mdta_attend
+from rcot_tpu.ops.pallas_gram import mdta_core_gram
+
+
+def _twin(temp, qkv, num_heads):
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    ch = c // num_heads
+    q = qkv.reshape(b, h * w, 3, num_heads, ch)
+    q = jnp.transpose(q, (2, 0, 3, 4, 1))
+    out = mdta_attend(q[0], q[1], q[2], temp)
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
+
+
+@pytest.mark.parametrize("heads,c", [(1, 8), (2, 16), (4, 96), (4, 8)])
+def test_gram_core_matches_twin(rng, heads, c):
+    b, h, w = 2, 8, 8
+    qkv = jnp.asarray(rng.normal(size=(b, h, w, 3 * c)), jnp.float32)
+    temp = jnp.asarray(rng.normal(1.0, 0.2, (heads, 1, 1)), jnp.float32)
+
+    out_g = mdta_core_gram(temp, qkv, heads, interpret=True)
+    out_t = _twin(temp, qkv, heads)
+    np.testing.assert_allclose(out_g, out_t, rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(rng.normal(size=out_t.shape), jnp.float32)
+    gg = jax.grad(lambda t, q: jnp.sum(
+        mdta_core_gram(t, q, heads, interpret=True) * cot),
+        argnums=(0, 1))(temp, qkv)
+    gt = jax.grad(lambda t, q: jnp.sum(_twin(t, q, heads) * cot),
+                  argnums=(0, 1))(temp, qkv)
+    np.testing.assert_allclose(gg[0], gt[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(gg[1], gt[1], rtol=2e-4, atol=2e-4)
+
+
+def test_mdta_module_gram_flag(rng, monkeypatch):
+    """Whole mdta op with RCOT_PALLAS_GRAM=1 == default path (fwd + grads
+    through params and input)."""
+    from rcot_tpu.ops.attention import init_mdta, mdta
+    from rcot_tpu.ops import dispatch
+    dim, heads = 16, 2
+    p = init_mdta(jax.random.PRNGKey(0), dim, heads, bias=False)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, dim)), jnp.float32)
+    ref = mdta(p, x, heads)
+    cot = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    gr = jax.grad(lambda q, y: jnp.sum(mdta(q, y, heads) * cot),
+                  argnums=(0, 1))(p, x)
+
+    monkeypatch.setenv("RCOT_PALLAS_GRAM", "1")
+    monkeypatch.setenv("RCOT_PALLAS", "1")
+    dispatch.pallas_enabled.cache_clear()
+    try:
+        out = mdta(p, x, heads)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        gf = jax.grad(lambda q, y: jnp.sum(mdta(q, y, heads) * cot),
+                      argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+    finally:
+        dispatch.pallas_enabled.cache_clear()
