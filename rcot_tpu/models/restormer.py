@@ -57,12 +57,16 @@ def init_transformer_block(key, dim: int, num_heads: int, ffn_factor: float,
 
 def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     from ..ops import dispatch
-    if (dispatch.pallas_enabled() and dispatch.pallas_block_on()
-            and "b" not in p["attn"]["qkv"] and not dispatch.any_ablate()):
-        # Whole-block fused path (ops/pallas_block.py): LN1+qkv+dw in one
-        # kernel, XLA attention core, proj+residual+LN2+GDFN+residual in a
-        # second kernel — no per-block elementwise passes left to XLA.
+    mode = dispatch.block_mode() if dispatch.pallas_enabled() else "off"
+    if (mode != "off" and "b" not in p["attn"]["qkv"]
+            and not dispatch.any_ablate()):
+        # Fused-block path (ops/pallas_block.py): LN1+qkv+dw in one kernel,
+        # XLA (or gram-kernel) attention core, then either the fused tail
+        # (proj+residual+LN2+GDFN+residual, mode "full") or the composed
+        # tail (mode "head" — used when the gram tier is active, whose
+        # backward cannot share a program with the tail backward).
         from ..ops.attention import mdta_core
+        from ..ops.conv import conv2d
         from ..ops.pallas_block import block_head, block_tail
         interp = dispatch.pallas_interpret()
         at, f = p["attn"], p["ffn"]
@@ -71,12 +75,16 @@ def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
             at["qkv"]["w"][0, 0].astype(x.dtype),
             at["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype), interpret=interp)
         a = mdta_core(at, qkv, num_heads)
-        return block_tail(
-            x, a, at["proj"]["w"][0, 0].astype(x.dtype),
-            jnp.asarray(p["norm2"]["w"]), _ln_b(p["norm2"]),
-            f["proj_in"]["w"][0, 0].astype(x.dtype),
-            f["dw"]["w"][:, :, 0, :].astype(x.dtype),
-            f["proj_out"]["w"][0, 0].astype(x.dtype), interpret=interp)
+        if mode == "full":
+            return block_tail(
+                x, a, at["proj"]["w"][0, 0].astype(x.dtype),
+                jnp.asarray(p["norm2"]["w"]), _ln_b(p["norm2"]),
+                f["proj_in"]["w"][0, 0].astype(x.dtype),
+                f["dw"]["w"][:, :, 0, :].astype(x.dtype),
+                f["proj_out"]["w"][0, 0].astype(x.dtype), interpret=interp)
+        x = x + conv2d(at["proj"], a)
+        x = x + gdfn(f, layernorm(p["norm2"], x))
+        return x
     x = x + mdta(p["attn"], layernorm(p["norm1"], x), num_heads)
     x = x + gdfn(p["ffn"], layernorm(p["norm2"], x))
     return x

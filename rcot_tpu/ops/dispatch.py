@@ -63,19 +63,40 @@ def pallas_block_on() -> bool:
     """Whole-block fused kernels (ops/pallas_block.py): [LN1+qkv+dw] head and
     [proj+residual+LN2+GDFN+residual] tail — supersede the pallas_fused sites
     when active, folding every per-block elementwise/HBM pass into the two
-    kernels. Default ON on TPU: measured 0.1148 -> 0.1078 s/iter on the
-    canonical recipe with the per-shape backward band budgets
-    (perf/probe_r2.jsonl, bisect_block.jsonl). RCOT_PALLAS_BLOCK=0 disables
-    (falls back to the round-2 pallas_fused sites)."""
-    return os.environ.get("RCOT_PALLAS_BLOCK", "1") not in ("", "0")
+    kernels. Measured 0.1148 -> 0.1078 s/iter standalone — but the tail
+    BACKWARD in the same program as the gram kernels deterministically
+    crashes the remote compiler (probe_r2 21:53; band-budget-INDEPENDENT:
+    still crashes at 1 MB and 0.5 MB tail budgets, probe_r2 22:42-22:47),
+    so the default resolves against pallas_gram_on(): gram wins
+    (0.1031 combined with the head kernel < 0.1078). Values:
+    RCOT_PALLAS_BLOCK=0 off | head (head kernel only, composes with gram) |
+    1/full (both kernels; forced even with gram — crashes today's
+    toolchain)."""
+    return block_mode() != "off"
+
+
+def block_mode() -> str:
+    env = os.environ.get("RCOT_PALLAS_BLOCK")
+    if env in ("", "0"):
+        return "off"
+    if env == "head":
+        return "head"
+    if env is not None:
+        return "full"
+    # default: full block tier unless the gram tier is active (their
+    # backwards cannot share a program on the current toolchain)
+    return "head" if pallas_gram_on() else "full"
 
 
 def pallas_gram_on() -> bool:
     """Transpose-free MDTA core (ops/pallas_gram.py): Gram/norm accumulation
     + apply kernels on NHWC qkv — removes the (3,B,heads,ch,HW) relayouts
     (~13 ms/iter measured, probe_r2 attn_all vs attn_core ablations).
-    Opt-in (RCOT_PALLAS_GRAM=1) until measured faster in-model."""
-    return os.environ.get("RCOT_PALLAS_GRAM", "0") not in ("", "0")
+    Default ON on TPU: 0.1148 -> 0.1061 s/iter composed with the
+    pallas_fused tier (probe_r2 22:05). Its backward cannot share a program
+    with the block-TAIL backward on the current toolchain (see block_mode).
+    RCOT_PALLAS_GRAM=0 disables."""
+    return os.environ.get("RCOT_PALLAS_GRAM", "1") not in ("", "0")
 
 
 def any_ablate() -> bool:

@@ -36,6 +36,7 @@ remote TPU compile helper, see ops/pallas_fused.py). LN math in fp32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -405,10 +406,17 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
     # (C, W) pairs the sweep verified, 2 MB for anything else. Head backward
     # is stable at 4 MB everywhere probed.
     if has_pre:
-        budget = 4 if (c, w_dim) in _TAIL_BWD_4MB_OK else 2
+        budget = 4.0 if (c, w_dim) in _TAIL_BWD_4MB_OK else 2.0
+        env = os.environ.get("RCOT_TAIL_VMEM_MB")  # crash-bisect knob
+        if env:
+            budget = float(env)
     else:
-        budget = 4
-    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=budget * 1024 * 1024)
+        budget = 4.0
+        env = os.environ.get("RCOT_HEAD_VMEM_MB")
+        if env:
+            budget = float(env)
+    th = _pick_th(h, w_dim, m, x.dtype.itemsize,
+                  budget=int(budget * 1024 * 1024))
 
     in_specs = _row_specs(th, w_dim, c, h, halo=2)
     operands = [x] * 5

@@ -58,6 +58,10 @@ def _acc_block(shape_tail):
 
 
 def _pick_rows(h, w, c3, itemsize, budget=4 * 1024 * 1024):
+    import os
+    env = os.environ.get("RCOT_GRAM_VMEM_MB")
+    if env:
+        budget = int(float(env) * 1024 * 1024)
     for th in (128, 64, 32, 16, 8, 4, 2, 1):
         if h % th:
             continue

@@ -105,8 +105,11 @@ def test_tail_matches_reference(rng, ln_bias, band_budget):
         np.testing.assert_allclose(a, b_, rtol=3e-4, atol=3e-4)
 
 
-def test_transformer_block_fused_path(rng, monkeypatch):
-    """Whole transformer_block: RCOT_PALLAS_BLOCK path == default path."""
+@pytest.mark.parametrize("mode", ["1", "head"])
+def test_transformer_block_fused_path(rng, monkeypatch, mode):
+    """Whole transformer_block: both fused-block modes == the jnp path.
+    mode "1" = head+tail kernels (gram off); mode "head" = head kernel +
+    gram attention core + composed tail (the TPU default composition)."""
     from rcot_tpu.models.restormer import init_transformer_block, transformer_block
     dim, heads = 8, 2
     p = init_transformer_block(jax.random.PRNGKey(0), dim, heads, 2.66,
@@ -114,7 +117,8 @@ def test_transformer_block_fused_path(rng, monkeypatch):
     x = jnp.asarray(rng.normal(size=(1, 8, 8, dim)), jnp.float32)
 
     ref = transformer_block(p, x, heads)
-    monkeypatch.setenv("RCOT_PALLAS_BLOCK", "1")
+    monkeypatch.setenv("RCOT_PALLAS_BLOCK", mode)
+    monkeypatch.setenv("RCOT_PALLAS_GRAM", "0" if mode == "1" else "1")
     monkeypatch.setenv("RCOT_PALLAS", "1")
     from rcot_tpu.ops import dispatch
     dispatch.pallas_enabled.cache_clear()

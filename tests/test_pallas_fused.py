@@ -71,6 +71,7 @@ class TestForward:
 
 
 class TestInModel:
+    @pytest.mark.slow
     def test_tnet_forward_identical_with_fused_path(self, tiny_model_cfg,
                                                     monkeypatch):
         """The dispatch-selected fused path must reproduce the jnp model

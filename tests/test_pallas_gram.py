@@ -27,7 +27,7 @@ def _twin(temp, qkv, num_heads):
 
 @pytest.mark.parametrize("heads,c", [(1, 8), (2, 16), (4, 96), (4, 8)])
 def test_gram_core_matches_twin(rng, heads, c):
-    b, h, w = 2, 8, 8
+    b, h, w = 1, 8, 8  # batch 1: interpret-mode grads dominate suite time
     qkv = jnp.asarray(rng.normal(size=(b, h, w, 3 * c)), jnp.float32)
     temp = jnp.asarray(rng.normal(1.0, 0.2, (heads, 1, 1)), jnp.float32)
 
@@ -71,3 +71,24 @@ def test_mdta_module_gram_flag(rng, monkeypatch):
             np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
     finally:
         dispatch.pallas_enabled.cache_clear()
+
+
+def test_block_mode_resolution(monkeypatch):
+    """block_mode(): explicit values win; the default resolves against the
+    gram tier (their backwards cannot co-compile on the current toolchain —
+    ops/dispatch.py block_mode docstring)."""
+    from rcot_tpu.ops import dispatch
+
+    monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+    monkeypatch.delenv("RCOT_PALLAS_GRAM", raising=False)
+    assert dispatch.block_mode() == "head"  # gram defaults ON
+    monkeypatch.setenv("RCOT_PALLAS_GRAM", "0")
+    assert dispatch.block_mode() == "full"
+    monkeypatch.setenv("RCOT_PALLAS_BLOCK", "0")
+    assert dispatch.block_mode() == "off"
+    assert not dispatch.pallas_block_on()
+    monkeypatch.setenv("RCOT_PALLAS_BLOCK", "head")
+    assert dispatch.block_mode() == "head"
+    monkeypatch.setenv("RCOT_PALLAS_BLOCK", "1")
+    assert dispatch.block_mode() == "full"
+    assert dispatch.pallas_block_on()

@@ -64,6 +64,7 @@ class TestMesh:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
 
+    @pytest.mark.slow
     def test_spatial_sharding_forward(self, tiny_model_cfg):
         """Full-res inference with activations sharded over image rows:
         XLA inserts halo exchanges for the convs; result matches replicated."""

@@ -38,6 +38,12 @@ LEVELS = [
 
 def emit(rec):
     rec["ts"] = time.strftime("%H:%M:%S")
+    if os.environ.get("RCOT_BWD_BF16", "0") not in ("", "0"):
+        rec["bwd_bf16"] = True
+    for env in ("RCOT_TAIL_VMEM_MB", "RCOT_HEAD_VMEM_MB",
+                "RCOT_GRAM_VMEM_MB", "RCOT_FUSED_VMEM_MB"):
+        if os.environ.get(env):
+            rec[env.removeprefix("RCOT_").lower()] = os.environ[env]
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
@@ -60,6 +66,8 @@ def try_compile(tag, fn, *args, grad=False):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "gram":
+        return gram_sweep()
     from rcot_tpu.ops.pallas_block import block_head, block_tail
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -96,6 +104,27 @@ def main():
             if mode in ("bwd", "all"):
                 try_compile(f"tail_bwd_c{c}_w{w}", fn, x, a, wp, lw, lb, wi,
                             dk, wo, grad=True)
+
+
+
+
+def gram_sweep():
+    """Sweep the pallas_gram kernels (fwd + bwd) per level shape."""
+    from rcot_tpu.ops.pallas_gram import mdta_core_gram
+    rng = np.random.default_rng(0)
+    b = 3
+    # every (C, heads) pair the parity model instantiates (incl. the cond
+    # blocks' off-pattern head counts: noise_level1 96/4, noise_level3 384/4)
+    heads_by_c = {48: (1,), 96: (1, 2, 4), 192: (4,), 384: (4, 8)}
+    for c, w, h in LEVELS:
+        for heads in heads_by_c[c]:
+            qkv = jnp.asarray(rng.normal(size=(b, h, w, 3 * c)), jnp.bfloat16)
+            temp = jnp.ones((heads, 1, 1), jnp.float32)
+            fn = (lambda hh: lambda t, q: mdta_core_gram(t, q, hh))(heads)
+            try_compile(f"gram_fwd_c{c}_w{w}_h{heads}", fn, temp, qkv)
+            try_compile(f"gram_bwd_c{c}_w{w}_h{heads}",
+                        (lambda hh: lambda q, t: mdta_core_gram(t, q, hh))(heads),
+                        qkv, temp, grad=True)
 
 
 if __name__ == "__main__":

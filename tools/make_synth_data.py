@@ -73,6 +73,26 @@ def add_haze(rng, img: np.ndarray) -> np.ndarray:
     return np.clip(hazy, 0, 255).astype(np.uint8)
 
 
+def add_blur(rng, img: np.ndarray) -> np.ndarray:
+    """Motion-ish blur: directional box kernel via repeated shifted adds."""
+    length = int(rng.integers(5, 12))
+    slope = rng.uniform(-1.0, 1.0)
+    acc = np.zeros_like(img, np.float32)
+    for t in range(length):
+        dy, dx = t, int(round(t * slope))
+        acc += np.roll(np.roll(img.astype(np.float32), dy, 0), dx, 1)
+    return np.clip(acc / length, 0, 255).astype(np.uint8)
+
+
+def add_lowlight(rng, img: np.ndarray) -> np.ndarray:
+    """Darken: gamma + gain + mild noise (LOL-style appearance)."""
+    gamma = rng.uniform(1.8, 3.0)
+    gain = rng.uniform(0.15, 0.4)
+    x = (img.astype(np.float32) / 255.0) ** gamma * gain
+    x = x + rng.normal(0, 0.01, img.shape)
+    return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+
+
 def save(path: str, img: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     Image.fromarray(img).save(path)
@@ -114,6 +134,24 @@ def main():
             save(f"{r}/Dehaze/synthetic/h{i}_hazy.png", hazy)
             save(f"{r}/Dehaze/original/h{i}.png", clean)
             haze_names.append(f"synthetic/h{i}_hazy.png")
+        # deblur: <dir>/{blur,sharp}/<same name> (data/datasets.py:103-107)
+        blurred = add_blur(rng, clean)
+        if val:
+            k = i - args.n
+            save(f"{r}/val/deblur/input/img-{k}.png", blurred)
+            save(f"{r}/val/deblur/target/img-{k}.png", clean)
+        else:
+            save(f"{r}/Deblur/blur/img-{i}.png", blurred)
+            save(f"{r}/Deblur/sharp/img-{i}.png", clean)
+        # lowlight: <dir>/{low,high}/<same name> (data/datasets.py:108-112)
+        dark = add_lowlight(rng, clean)
+        if val:
+            k = i - args.n
+            save(f"{r}/val/lowlight/input/img-{k}.png", dark)
+            save(f"{r}/val/lowlight/target/img-{k}.png", clean)
+        else:
+            save(f"{r}/Lowlight/low/img-{i}.png", dark)
+            save(f"{r}/Lowlight/high/img-{i}.png", clean)
         # denoise (clean only; noise is synthesized on-device / at test time)
         if val:
             k = i - args.n

@@ -39,7 +39,12 @@ def emit(rec):
     from rcot_tpu.ops import dispatch
     rec["fused"] = bool(dispatch.pallas_enabled() and dispatch.pallas_fused_on())
     if dispatch.pallas_enabled() and dispatch.pallas_block_on():
-        rec["block"] = True
+        rec["block"] = dispatch.block_mode()
+    if dispatch.pallas_enabled() and dispatch.pallas_gram_on():
+        rec["gram"] = True
+    for env in ("RCOT_TAIL_VMEM_MB", "RCOT_HEAD_VMEM_MB", "RCOT_GRAM_VMEM_MB"):
+        if os.environ.get(env):
+            rec[env.removeprefix("RCOT_").lower()] = os.environ[env]
     if os.environ.get("RCOT_BWD_BF16"):
         rec["bwd_bf16"] = True
     if os.environ.get("RCOT_SINGLE_FWD"):
