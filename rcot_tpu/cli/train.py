@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise-dir", dest="denoise_dir")
     p.add_argument("--derain-dir", dest="derain_dir")
     p.add_argument("--dehaze-dir", dest="dehaze_dir")
+    p.add_argument("--deblur-dir", dest="deblur_dir")
+    p.add_argument("--lowlight-dir", dest="lowlight_dir")
+    p.add_argument("--single-dir", dest="single_dir")
     p.add_argument("--data-file-dir", dest="data_file_dir")
     p.add_argument("--degset", default=None, help="validation degraded folder")
     p.add_argument("--tarset", default=None, help="validation target folder")

@@ -293,7 +293,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     if has_out:
         co = w_out.shape[1]
         dg2 = _bwd_dot(gb.reshape((th + 2) * w_dim, co), w_out[:],
-                       ((1,), (1,)))
+                       ((1,), (1,)), tier="block")
         dgate = dg2.reshape(th + 2, w_dim, mh)
     else:
         dgate = gb.astype(jnp.float32)
@@ -317,7 +317,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
 
     if has_in:
         du = _bwd_dot(dh.reshape(th * w_dim, m), w_in[:],
-                      ((1,), (1,))).reshape(th, w_dim, cin)
+                      ((1,), (1,)), tier="block").reshape(th, w_dim, cin)
     else:
         du = dh
 
@@ -344,7 +344,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     dx_ref[0] = dt_mid.astype(dx_ref.dtype)
     if has_pre:
         da2 = _bwd_dot(dt_mid.reshape(th * w_dim, cin), w_pre[:],
-                       ((1,), (1,)))
+                       ((1,), (1,)), tier="block")
         da_ref[0] = da2.reshape(th, w_dim, ca).astype(da_ref.dtype)
 
     # ---- accumulated weight grads ----
@@ -360,7 +360,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     if has_pre:
         am = ab[2:2 + th].reshape(th * w_dim, ca)
         dwpre_ref[...] += _bwd_dot(am, dt_mid.reshape(th * w_dim, cin),
-                                   ((0,), (0,)))
+                                   ((0,), (0,)), tier="block")
 
     dlnw_ref[...] += jnp.sum(du * that_for_w, axis=(0, 1))[None]
     if ln_bias:
@@ -369,7 +369,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     if has_in:
         um = u[2:2 + th].reshape(th * w_dim, cin)
         dwin_ref[...] += _bwd_dot(um, dh.reshape(th * w_dim, m),
-                                  ((0,), (0,)))
+                                  ((0,), (0,)), tier="block")
 
     dconv_mid = dconv[1:1 + th]
     for dy in range(3):
@@ -385,7 +385,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
             gate_mid = conv_mid
         gm = gate_mid.reshape(th * w_dim, mh)
         g2 = g_rows[1][0].reshape(th * w_dim, w_out.shape[1])
-        dwout_ref[...] += _bwd_dot(gm, g2, ((0,), (0,)))
+        dwout_ref[...] += _bwd_dot(gm, g2, ((0,), (0,)), tier="block")
 
 
 def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,

@@ -90,20 +90,27 @@ def _matmul(a2d, w, out_dtype):
         preferred_element_type=jnp.float32).astype(out_dtype)
 
 
-def _bwd_dot_dtype():
-    """Operand dtype for the backward kernels' matmuls. Default fp32: the
-    bf16-operand variants crash the sandbox's remote TPU compile helper on
-    some shapes (opaque HTTP 500, see module docstring). RCOT_BWD_BF16=1
-    re-enables bf16 operands (2x MXU rate) for re-probing as the toolchain
-    moves; fp32 accumulation either way."""
+def _bwd_dot_dtype(tier: str = "fused"):
+    """Operand dtype for the backward kernels' matmuls. Default fp32:
+    every bf16-operand backward shape compiles STANDALONE
+    (perf/bisect_block.jsonl 00:0x bwd_bf16 sweep, 34/34 ok) but the whole
+    iteration with bf16 backwards crashes the sandbox's remote compile
+    helper (probe_r2 00:15 — helper resource exhaustion on program
+    composition, same failure class as the gram+tail co-compile).
+    RCOT_BWD_BF16 value: 1/all = every tier | a comma list of tiers
+    ("fused", "block", "gram") = only those tiers' backward kernels use
+    bf16 operands (2x MXU rate); fp32 accumulation either way."""
     import os
-    if os.environ.get("RCOT_BWD_BF16", "0") not in ("", "0"):
+    env = os.environ.get("RCOT_BWD_BF16", "0")
+    if env in ("", "0"):
+        return jnp.float32
+    if env in ("1", "all") or tier in env.split(","):
         return jnp.bfloat16
     return jnp.float32
 
 
-def _bwd_dot(a2d, b2d, contract):
-    dt = _bwd_dot_dtype()
+def _bwd_dot(a2d, b2d, contract, tier: str = "fused"):
+    dt = _bwd_dot_dtype(tier)
     return jax.lax.dot_general(
         a2d.astype(dt), b2d.astype(dt), (contract, ((), ())),
         preferred_element_type=jnp.float32)

@@ -123,8 +123,8 @@ def _gram_bwd_kernel(qkv, dgram, dnq, dnk, dqkv, *, heads, ch, th):
         q = flat[:, h * ch:(h + 1) * ch]
         k = flat[:, c + h * ch:c + (h + 1) * ch]
         dg = dgram[0, h]
-        dq = _bwd_dot(k, dg, ((1,), (1,))) + 2.0 * q * dnq[0, h][None]
-        parts.append((dq, _bwd_dot(q, dg, ((1,), (0,)))
+        dq = _bwd_dot(k, dg, ((1,), (1,)), tier="gram") + 2.0 * q * dnq[0, h][None]
+        parts.append((dq, _bwd_dot(q, dg, ((1,), (0,)), tier="gram")
                       + 2.0 * k * dnk[0, h][None]))
     dq_all = jnp.concatenate([p[0] for p in parts], axis=-1)
     dk_all = jnp.concatenate([p[1] for p in parts], axis=-1)
@@ -220,8 +220,8 @@ def _apply_bwd_kernel(qkv, attn, g, dqkv, dattn, *, heads, ch, th):
         v = flat[:, 2 * c + h * ch:2 * c + (h + 1) * ch]
         da = gflat[:, h * ch:(h + 1) * ch]
         a = attn[0, h]
-        parts.append(_bwd_dot(da, a, ((1,), (0,))))
-        dattn[0, h] += _bwd_dot(da, v, ((0,), (0,)))
+        parts.append(_bwd_dot(da, a, ((1,), (0,)), tier="gram"))
+        dattn[0, h] += _bwd_dot(da, v, ((0,), (0,)), tier="gram")
     dv_all = jnp.concatenate(parts, axis=-1)
     zeros = jnp.zeros((th * w, 2 * c), jnp.float32)
     out = jnp.concatenate([zeros, dv_all], axis=-1)

@@ -73,10 +73,17 @@ def add_haze(rng, img: np.ndarray) -> np.ndarray:
     return np.clip(hazy, 0, 255).astype(np.uint8)
 
 
-def add_blur(rng, img: np.ndarray) -> np.ndarray:
-    """Motion-ish blur: directional box kernel via repeated shifted adds."""
-    length = int(rng.integers(5, 12))
-    slope = rng.uniform(-1.0, 1.0)
+def add_blur(rng, img: np.ndarray, fixed: bool = False) -> np.ndarray:
+    """Motion-ish blur: directional box kernel via repeated shifted adds.
+
+    fixed=True uses one deterministic kernel for every image — a much easier
+    (non-blind) deblurring task, for convergence-evidence runs on tiny
+    synthetic sets where per-image random kernels are genuinely blind."""
+    if fixed:
+        length, slope = 7, 0.5
+    else:
+        length = int(rng.integers(5, 12))
+        slope = rng.uniform(-1.0, 1.0)
     acc = np.zeros_like(img, np.float32)
     for t in range(length):
         dy, dx = t, int(round(t * slope))
@@ -104,6 +111,8 @@ def main():
     ap.add_argument("--n", type=int, default=24, help="train images per task")
     ap.add_argument("--n-val", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--blur-fixed", action="store_true",
+                    help="one deterministic blur kernel for all images")
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
     r = args.root
@@ -135,7 +144,7 @@ def main():
             save(f"{r}/Dehaze/original/h{i}.png", clean)
             haze_names.append(f"synthetic/h{i}_hazy.png")
         # deblur: <dir>/{blur,sharp}/<same name> (data/datasets.py:103-107)
-        blurred = add_blur(rng, clean)
+        blurred = add_blur(rng, clean, fixed=args.blur_fixed)
         if val:
             k = i - args.n
             save(f"{r}/val/deblur/input/img-{k}.png", blurred)
