@@ -33,6 +33,15 @@ import numpy as np
 A100_TF32_PEAK = 156e12
 A100_ASSUMED_UTIL = 0.10
 
+# FLOPs of ONE reference iteration (two-forward algorithm, batch 3, patch
+# 128): XLA cost analysis of the full TPU lowering, measured on-device
+# (perf/probe_r2.jsonl 15:24, task iter_parity pallas-free). Pinned as a
+# constant because cost_analysis is backend-dependent — the CPU lowering
+# of the identical program reports 2.13e12 (its conv lowering inflates the
+# count ~21%), which would overstate vs_baseline. The runtime-computed
+# number is still reported in detail.iter_flops_computed for auditability.
+REF_ITER_FLOPS = 1.7589e12
+
 
 def main():
     from rcot_tpu.train.steps import Batch, create_train_state, make_train_iteration
@@ -129,6 +138,10 @@ def main():
     except Exception as e:
         print(f"flops counting failed: {e!r}", file=sys.stderr)
 
+    flops_computed = flops
+    if bs == 3 and ps == 128:  # the canonical recipe the pin was measured at
+        flops = REF_ITER_FLOPS
+
     # warmup
     for _ in range(3):
         state, metrics = step(state, batch, key, paired, lr)
@@ -189,6 +202,7 @@ def main():
             "batch_size": bs,
             "patch": ps,
             "iter_flops": flops,
+            "iter_flops_computed": flops_computed,
             "achieved_tflops": round(flops / dt / 1e12, 2) if flops else None,
             "baseline_model": (
                 f"analytic A100 TF32 @ {A100_ASSUMED_UTIL:.0%} util (eager "

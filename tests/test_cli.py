@@ -49,6 +49,19 @@ class TestTrainCLI:
             cfg = get_preset(name)
             assert cfg.train.batch_size >= 1
 
+    def test_task_dir_flags(self):
+        """--deblur-dir/--lowlight-dir/--single-dir overlay onto DataConfig
+        (driven end-to-end on TPU: runs/deblur_convergence.jsonl etc.)."""
+        p = build_parser()
+        args = p.parse_args([
+            "--deblur-dir", "/d/blur/", "--lowlight-dir", "/d/low/",
+            "--single-dir", "/d/single/",
+        ])
+        cfg = overlay_config(get_preset("deblur"), args)
+        assert cfg.data.deblur_dir == "/d/blur/"
+        assert cfg.data.lowlight_dir == "/d/low/"
+        assert cfg.data.single_dir == "/d/single/"
+
     def test_loss_math_flag(self):
         p = build_parser()
         args = p.parse_args(["--loss-math", "clean"])
