@@ -28,10 +28,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize, no-op when single-process with no args."""
+    """jax.distributed.initialize, no-op when single-process with no args.
+
+    After init, runs one tiny cross-process psum to establish the collective
+    context (Gloo on CPU) while process skew is still sub-second. The
+    context's key-value rendezvous has a fixed ~30 s window, and the FIRST
+    collective of a real run otherwise sits after minutes of compilation —
+    two processes compiling at different speeds (shared machine, cold vs
+    warm caches) routinely exceed it (observed: tests/test_multiprocess.py
+    flaking under load with 'Gloo context initialization failed:
+    DEADLINE_EXCEEDED'). Warming it here makes the window irrelevant."""
     if coordinator is None and num_processes in (None, 1):
         return
     jax.distributed.initialize(coordinator, num_processes, process_id)
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+        mesh = Mesh(np.asarray(jax.devices()), ("warmup",))
+        sharded = NamedSharding(mesh, P("warmup"))
+        ones = put_global(np.ones((len(jax.devices()),), np.float32), sharded)
+        # jnp.sum of a device-sharded array -> XLA all-reduce across processes
+        out = jax.jit(jnp.sum, in_shardings=sharded,
+                      out_shardings=NamedSharding(mesh, P()))(ones)
+        jax.block_until_ready(out)
 
 
 def make_mesh(data: Optional[int] = None, spatial: int = 1,
