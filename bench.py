@@ -139,7 +139,10 @@ def main():
         print(f"flops counting failed: {e!r}", file=sys.stderr)
 
     flops_computed = flops
-    if bs == 3 and ps == 128:  # the canonical recipe the pin was measured at
+    # the pin applies only to the exact config it was measured at: parity
+    # model, batch 3, patch 128 (a turbo/non-parity model has different
+    # per-iteration FLOPs and must use its own computed count)
+    if bs == 3 and ps == 128 and cfg.model == type(cfg.model)():
         flops = REF_ITER_FLOPS
 
     # warmup

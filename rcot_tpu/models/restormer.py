@@ -66,7 +66,6 @@ def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
         # tail (mode "head" — used when the gram tier is active, whose
         # backward cannot share a program with the tail backward).
         from ..ops.attention import mdta_core
-        from ..ops.conv import conv2d
         from ..ops.pallas_block import block_head, block_tail
         interp = dispatch.pallas_interpret()
         at, f = p["attn"], p["ffn"]

@@ -59,7 +59,11 @@ def mdta_core(p: dict, qkv: jax.Array, num_heads: int) -> jax.Array:
     fused block-head and block-tail kernels (ops/pallas_block.py)."""
     from . import dispatch
 
+    # the explicit opt-in MDTA kernel (default OFF) wins over the default-ON
+    # gram tier so RCOT_PALLAS_MDTA=1 remains A/B-able without also having
+    # to set RCOT_PALLAS_GRAM=0
     if (dispatch.pallas_enabled() and dispatch.pallas_gram_on()
+            and not dispatch.pallas_mdta_on()
             and not dispatch.ablate("attn_core")):
         from .pallas_gram import mdta_core_gram
         return mdta_core_gram(p["temperature"], qkv, num_heads,

@@ -77,13 +77,15 @@ def pallas_block_on() -> bool:
 
 def block_mode() -> str:
     env = os.environ.get("RCOT_PALLAS_BLOCK")
-    if env in ("", "0"):
+    if env in ("", "0", "false"):
         return "off"
     if env == "head":
         return "head"
-    if env is not None:
+    if env in ("1", "full"):
+        # explicit force — including tail+gram in one program, which
+        # crashes today's toolchain unless RCOT_PALLAS_GRAM=0
         return "full"
-    # default: full block tier unless the gram tier is active (their
+    # unset or unrecognized: resolve against the gram tier (their
     # backwards cannot share a program on the current toolchain)
     return "head" if pallas_gram_on() else "full"
 

@@ -45,7 +45,10 @@ def initialize_distributed(coordinator: Optional[str] = None,
         import jax.numpy as jnp
         mesh = Mesh(np.asarray(jax.devices()), ("warmup",))
         sharded = NamedSharding(mesh, P("warmup"))
-        ones = put_global(np.ones((len(jax.devices()),), np.float32), sharded)
+        # put_global takes the PROCESS-LOCAL slice: one element per local
+        # device (the global array has one element per global device)
+        ones = put_global(np.ones((jax.local_device_count(),), np.float32),
+                          sharded)
         # jnp.sum of a device-sharded array -> XLA all-reduce across processes
         out = jax.jit(jnp.sum, in_shardings=sharded,
                       out_shardings=NamedSharding(mesh, P()))(ones)

@@ -39,7 +39,7 @@ LEVELS = [
 def emit(rec):
     rec["ts"] = time.strftime("%H:%M:%S")
     if os.environ.get("RCOT_BWD_BF16", "0") not in ("", "0"):
-        rec["bwd_bf16"] = True
+        rec["bwd_bf16"] = os.environ["RCOT_BWD_BF16"]  # keep tier-list value
     for env in ("RCOT_TAIL_VMEM_MB", "RCOT_HEAD_VMEM_MB",
                 "RCOT_GRAM_VMEM_MB", "RCOT_FUSED_VMEM_MB"):
         if os.environ.get(env):

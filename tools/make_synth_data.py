@@ -85,8 +85,13 @@ def add_blur(rng, img: np.ndarray, fixed: bool = False) -> np.ndarray:
         length = int(rng.integers(5, 12))
         slope = rng.uniform(-1.0, 1.0)
     acc = np.zeros_like(img, np.float32)
+    # zero-centered kernel: offsets straddle 0 so the blurred image is NOT
+    # translated relative to the sharp target (an earlier uncentered version
+    # shifted the centroid ~(length-1)/2 px, silently adding a translation
+    # the model had to learn on top of the blur)
     for t in range(length):
-        dy, dx = t, int(round(t * slope))
+        tc = t - length // 2
+        dy, dx = tc, int(round(tc * slope))
         acc += np.roll(np.roll(img.astype(np.float32), dy, 0), dx, 1)
     return np.clip(acc / length, 0, 255).astype(np.uint8)
 

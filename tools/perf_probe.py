@@ -45,8 +45,8 @@ def emit(rec):
     for env in ("RCOT_TAIL_VMEM_MB", "RCOT_HEAD_VMEM_MB", "RCOT_GRAM_VMEM_MB"):
         if os.environ.get(env):
             rec[env.removeprefix("RCOT_").lower()] = os.environ[env]
-    if os.environ.get("RCOT_BWD_BF16"):
-        rec["bwd_bf16"] = True
+    if os.environ.get("RCOT_BWD_BF16", "0") not in ("", "0"):
+        rec["bwd_bf16"] = os.environ["RCOT_BWD_BF16"]  # keep tier-list value
     if os.environ.get("RCOT_SINGLE_FWD"):
         rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
     with open(OUT, "a") as f:
