@@ -18,6 +18,7 @@ Replaces the reference's trainer.py main()/train()/evaluate() loop
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import jax
@@ -66,6 +67,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
+        self._last_log = None  # (wall time, host_step) at the last log point
         # host mirror of state.step: reading the device scalar every iteration
         # would force a sync and stall the pipeline.
         self.host_step = 0
@@ -140,6 +142,7 @@ class Trainer:
         last_metrics = {}
         n_imgs = 0
         profiling = False
+        self._last_log = None  # epoch boundary: don't fold eval/ckpt gaps in
         batch = None  # stays None on an empty epoch (e.g. resume at last step)
         for i, (deg, clean, de_id) in enumerate(device_prefetch(
                 self.loader.epoch(epoch, start_step),
@@ -169,6 +172,18 @@ class Trainer:
             if step_idx % t.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = timer.stop(t.batch_size)
+                # sec_per_step is a ROLLING wall-clock average over the steps
+                # since the previous log point. The naive per-step time is
+                # meaningless under async dispatch: the float() sync above
+                # drains the device backlog of every unlogged step, so the
+                # logged step alone would read ~log_every times too slow
+                # (and the unlogged ones near-zero).
+                now = time.perf_counter()
+                if self._last_log is not None:
+                    lt, ls = self._last_log
+                    steps = max(1, self.host_step - ls)
+                    dt = (now - lt) / steps
+                self._last_log = (now, self.host_step)
                 self.log.log("train_step", epoch=epoch, step=self.host_step,
                              epoch_step=step_idx, sec_per_step=dt,
                              imgs_per_sec=t.batch_size / dt if dt else None,
