@@ -51,17 +51,31 @@ class Trainer:
         self.log = MetricsLogger(log_path)
         self.loader = TrainLoader(cfg, seed=cfg.train.seed)
         self._restorer = None  # built once, reused across epochs
-        self._iteration = jax.jit(make_train_iteration(cfg), donate_argnums=(0,))
+        iteration = make_train_iteration(cfg)
         out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
 
-        # Key derivation happens INSIDE the jitted program: fold_in/split as
-        # standalone ops would each pay a dispatch round-trip per step.
-        def _preproc(step, clean, deg, de_id):
+        # Preproc (key derivation + augment/degrade) runs INSIDE the same
+        # jitted program as the minimax iteration: one device dispatch per
+        # step. Separate jits would pay an extra host->device round-trip per
+        # step (material on a remote-attached TPU) and a fold_in/split pair
+        # as standalone eager ops would be worse still.
+        def _fused_step(state, step, clean, deg, de_id, paired, lr):
             key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
             k_pre, k_gp = jax.random.split(key)
             degraded, target = augment_and_degrade(
                 k_pre, clean, deg, de_id, out_dtype=out_dtype)
-            return degraded, target, k_gp
+            batch = Batch(degraded=degraded, target=target, de_id=de_id)
+            return iteration(state, batch, k_gp, paired, lr)
+
+        self._step = jax.jit(_fused_step, donate_argnums=(0,))
+
+        # standalone preproc, used ONLY for the epoch-granularity sample dump
+        # (the training loop never materializes the augmented batch on host)
+        def _preproc(step, clean, deg, de_id):
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+            k_pre, _ = jax.random.split(key)
+            return augment_and_degrade(k_pre, clean, deg, de_id,
+                                       out_dtype=out_dtype)
 
         self._preproc = jax.jit(_preproc)
         self.state: Optional[TrainState] = None
@@ -160,12 +174,11 @@ class Trainer:
                 profiling = False
                 self.log.log("profile_trace", dir=profile_dir)
             timer.start()
-            degraded, target, k_gp = self._preproc(
-                np.int32(self.host_step), clean, deg, de_id)
-            batch = Batch(degraded=degraded, target=target, de_id=de_id)
             paired = np.bool_(step_idx < paired_until)
-            self.state, metrics = self._iteration(self.state, batch, k_gp,
-                                                  paired, lr)
+            self.state, metrics = self._step(
+                self.state, np.int32(self.host_step), clean, deg, de_id,
+                paired, lr)
+            batch = (clean, deg, de_id)  # raw host batch, for the sample dump
             self.host_step += 1
             if t.ckpt_every_steps and (step_idx + 1) % t.ckpt_every_steps == 0:
                 self.save(epoch, epoch_step=step_idx + 1)
@@ -202,17 +215,21 @@ class Trainer:
         if (t.sample_every and epoch % t.sample_every == 0
                 and batch is not None and self.is_lead):
             # visual smoke artifacts on the LAST batch (reference dumps
-            # output/degraded/target/res, trainer.py:355-358)
+            # output/degraded/target/res, trainer.py:355-358) — re-derive the
+            # augmented batch from the raw host tensors (same key: step-1)
             from ..models.restormer import apply_tnet
             from ..utils.image_io import save_sample_grid
+            clean_l, deg_l, de_id_l = batch
+            degraded, target = self._preproc(
+                np.int32(self.host_step - 1), clean_l, deg_l, de_id_l)
             out, _, res = jax.jit(
                 lambda p, x: apply_tnet(p, x, cfg.model))(
-                    self.state.t_params, batch.degraded)
+                    self.state.t_params, degraded)
             save_sample_grid(
                 os.path.join(t.sample_dir, t.run_name), f"epoch{epoch}",
                 output=np.asarray(out, np.float32),
-                degraded=np.asarray(batch.degraded, np.float32),
-                target=np.asarray(batch.target, np.float32),
+                degraded=np.asarray(degraded, np.float32),
+                target=np.asarray(target, np.float32),
                 res=2.0 * np.asarray(res, np.float32))
         return last_metrics
 
