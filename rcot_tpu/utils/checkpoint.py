@@ -82,9 +82,21 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
 
     if keep_n > 0:
         base = os.path.basename(path).rsplit("_step", 1)[0]
+
+        def step_of(fname: str) -> int:
+            # numeric sort: lexicographic ordering deletes the NEWEST
+            # checkpoints once the step count crosses a digit boundary
+            # ("step112" < "step80" as strings) and leaves latest.npz
+            # dangling — observed on a real 15-epoch run
+            tail = fname[len(base + "_step"):-len(".npz")]
+            try:
+                return int(tail)
+            except ValueError:
+                return -1
         siblings = sorted(
-            f for f in os.listdir(d)
-            if f.startswith(base + "_step") and f.endswith(".npz"))
+            (f for f in os.listdir(d)
+             if f.startswith(base + "_step") and f.endswith(".npz")),
+            key=step_of)
         for old in siblings[:-keep_n]:
             os.unlink(os.path.join(d, old))
     return path

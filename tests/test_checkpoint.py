@@ -50,6 +50,19 @@ class TestCheckpoint:
                        if f.startswith("run_step"))
         assert len(files) == 2
 
+    def test_keep_n_prunes_numerically(self, tmp_path):
+        """Pruning must keep the NEWEST steps across digit boundaries —
+        lexicographic ordering would delete step112 while keeping step80
+        (and leave latest.npz dangling, as observed on a real 15-epoch run)."""
+        for i in (80, 88, 96, 104, 112):
+            save_checkpoint(str(tmp_path / f"run_step{i}"), _state(i), keep_n=3)
+        files = sorted(f for f in os.listdir(tmp_path)
+                       if f.startswith("run_step"))
+        assert files == ["run_step104.npz", "run_step112.npz", "run_step96.npz"]
+        latest = tmp_path / "latest.npz"
+        assert latest.exists() and os.path.basename(
+            os.readlink(latest)) == "run_step112.npz"
+
     def test_shape_mismatch_raises(self, tmp_path):
         path = save_checkpoint(str(tmp_path / "c"), {"w": jnp.ones((2, 2))})
         with pytest.raises(ValueError, match="shape mismatch"):
