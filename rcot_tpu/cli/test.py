@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "but left the calls commented out, evaluate.py:95-96)")
     p.add_argument("--lpips-weights", default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--backbone", choices=["auto", "restormer", "mprnet"],
+                   default="auto",
+                   help="T_net backbone: the flagship Restormer or the legacy "
+                        "MPRNet-style one the distributed pretrained weights "
+                        "use (reference: README.md:118-120, Net.py:179-216). "
+                        "auto = sniff .pth state_dicts / npz metadata")
+    p.add_argument("--sr-scale", type=int, default=0,
+                   help="legacy SR mode: bicubic-upsample inputs xN before "
+                        "restoration (mprnet only, reference: Net.py:182-183)")
     return p
 
 
@@ -56,14 +65,16 @@ def save_png(path: str, img01: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
-def load_t_params(path: str, model_cfg):
+def load_t_params(path: str, model_cfg, backbone: str = "auto"):
     """Load T params from our npz (using the checkpoint's own stored config
-    to shape the template) or from a reference .pth."""
+    to shape the template) or from a reference .pth. Returns
+    (t_params, model_cfg, backbone) with backbone resolved if 'auto'."""
     if path.endswith(".pth"):
         from ..compat.torch_port import load_reference_checkpoint
         from ..utils.config import CriticConfig
-        t_params, _, _ = load_reference_checkpoint(path, model_cfg, CriticConfig())
-        return t_params, model_cfg
+        t_params, _, _, backbone = load_reference_checkpoint(
+            path, model_cfg, CriticConfig(), backbone=backbone)
+        return t_params, model_cfg, backbone
     import dataclasses
 
     import jax
@@ -72,7 +83,17 @@ def load_t_params(path: str, model_cfg):
     from ..utils.checkpoint import load_checkpoint, read_metadata
     from ..utils.config import Config, CriticConfig, TrainConfig
 
-    meta_cfg = read_metadata(path).get("config", {})
+    meta = read_metadata(path)
+    if backbone == "auto":
+        backbone = meta.get("backbone", "restormer")
+    if backbone == "mprnet":
+        # mprnet npz checkpoints hold the raw T-params pytree (e.g. written
+        # by tools that port the distributed .pth weights once)
+        from ..models.mprnet import init_mprnet_tnet
+        template = init_mprnet_tnet(jax.random.PRNGKey(0))
+        params, _ = load_checkpoint(path, template)
+        return params, model_cfg, backbone
+    meta_cfg = meta.get("config", {})
     if meta_cfg.get("model"):
         from ..utils.config import ModelConfig
         model_cfg = ModelConfig(**{
@@ -90,7 +111,7 @@ def load_t_params(path: str, model_cfg):
     template = jax.eval_shape(
         lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
     state, _ = load_checkpoint(path, template)
-    return state.t_params, model_cfg
+    return state.t_params, model_cfg, "restormer"
 
 
 def main(argv=None) -> None:
@@ -109,11 +130,12 @@ def main(argv=None) -> None:
     if args.spatial > 1:
         from ..parallel.sharding import make_mesh
         mesh = make_mesh(data=1, spatial=args.spatial)
-    params, model_cfg = load_t_params(args.ckpt, ModelConfig())
+    params, model_cfg, backbone = load_t_params(
+        args.ckpt, ModelConfig(), backbone=args.backbone)
     restorer = make_restorer(
         params, model_cfg, tile=args.tile, tile_overlap=args.tile_overlap,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        mesh=mesh)
+        mesh=mesh, backbone=backbone, sr_scale=args.sr_scale)
 
     rng = np.random.default_rng(args.seed)
     p_meter, s_meter = AverageMeter(), AverageMeter()

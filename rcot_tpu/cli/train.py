@@ -108,7 +108,7 @@ def main(argv=None) -> None:
     elif args.pretrained:
         from ..compat.torch_port import load_reference_checkpoint
         trainer.init_state()
-        t_params, f_params, _ = load_reference_checkpoint(
+        t_params, f_params, _, _ = load_reference_checkpoint(
             args.pretrained, cfg.model, cfg.critic)
         trainer.state = trainer.state._replace(
             t_params=t_params, f_params=f_params)

@@ -233,10 +233,24 @@ def port_mprnet_state_dict(sd_in: Mapping[str, object]) -> Dict:
     return p
 
 
+def detect_backbone(t_sd: Mapping[str, object]) -> str:
+    """Which T_net a reference state_dict belongs to: the legacy MPRNet-style
+    backbone registers `shallow_feat1.*` modules (Net.py:184), the Restormer
+    one `patch_embed.*` (Net_Restormer.py:230)."""
+    for k in t_sd:
+        if k.startswith("shallow_feat1"):
+            return "mprnet"
+    return "restormer"
+
+
 def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
-                              critic_cfg: CriticConfig):
+                              critic_cfg: CriticConfig,
+                              backbone: str = "restormer"):
     """Load a reference .pth (pickled modules) -> (t_params, f_params, epoch).
 
+    backbone: 'restormer' | 'mprnet' | 'auto' (sniff the state_dict — the
+    distributed GDrive weights use the legacy MPRNet backbone, README.md:118).
+    Returns (t_params, f_params, epoch, backbone) with backbone resolved.
     Requires torch at call time (the pickle embeds nn.Module classes, so this
     only works where the reference code is importable; primarily a tooling
     path, not a runtime one)."""
@@ -245,6 +259,9 @@ def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     t_sd = ckpt["Tnet"].state_dict()
     f_sd = ckpt["Fnet"].state_dict()
-    return (port_tnet_state_dict(t_sd, model_cfg),
-            port_fnet_state_dict(f_sd, critic_cfg),
-            int(ckpt.get("epoch", 0)))
+    if backbone == "auto":
+        backbone = detect_backbone(t_sd)
+    t_params = (port_mprnet_state_dict(t_sd) if backbone == "mprnet"
+                else port_tnet_state_dict(t_sd, model_cfg))
+    return (t_params, port_fnet_state_dict(f_sd, critic_cfg),
+            int(ckpt.get("epoch", 0)), backbone)

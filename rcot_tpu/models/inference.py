@@ -212,12 +212,27 @@ class Restorer:
 
 
 def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
-                  dtype=jnp.float32, mesh=None) -> Restorer:
-    from .restormer import apply_tnet
+                  dtype=jnp.float32, mesh=None, backbone: str = "restormer",
+                  sr_scale: int = 0) -> Restorer:
+    """backbone: 'restormer' (the flagship T_net) or 'mprnet' (the legacy
+    paper-v1 backbone the distributed pretrained weights use,
+    reference: README.md:118-120 / Net.py:179-216). sr_scale applies the
+    legacy SR-mode bicubic pre-upsample (Net.py:182-183, mprnet only)."""
+    if backbone == "restormer":
+        from .restormer import apply_tnet
 
-    def fn(p, x):
-        out2, _, _ = apply_tnet(p, x.astype(dtype), model_cfg)
-        return out2.astype(jnp.float32)
+        def fn(p, x):
+            out2, _, _ = apply_tnet(p, x.astype(dtype), model_cfg)
+            return out2.astype(jnp.float32)
+    elif backbone == "mprnet":
+        from .mprnet import apply_mprnet_tnet
+
+        def fn(p, x):
+            out2, _, _ = apply_mprnet_tnet(p, x.astype(dtype),
+                                           sr_scale=sr_scale)
+            return out2.astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
 
     return Restorer(fn, params=params, tile=tile, tile_overlap=tile_overlap,
                     mesh=mesh)

@@ -142,3 +142,44 @@ class TestTesterCLI:
         got = capsys.readouterr().out
         assert "PSNR: average" in got and "LPIPS: average" in got
         assert sorted(os.listdir(out_dir)) == ["im0.png", "im1.png", "im2.png"]
+
+    def test_detect_backbone(self):
+        from rcot_tpu.compat.torch_port import detect_backbone
+        assert detect_backbone({"shallow_feat1.0.weight": 0}) == "mprnet"
+        assert detect_backbone({"patch_embed.proj.weight": 0}) == "restormer"
+
+    def test_rcot_test_mprnet_backbone(self, tmp_path, capsys):
+        """The tester drives the legacy MPRNet backbone (the one the
+        distributed pretrained weights use, reference README.md:118-120):
+        raw-pytree npz + backbone metadata -> auto-detected -> restored
+        folder with finite metrics."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.test import main as test_main
+        from rcot_tpu.models.mprnet import init_mprnet_tnet
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        params = init_mprnet_tnet(jax.random.PRNGKey(0))
+        ckpt = save_checkpoint(str(tmp_path / "legacy_step0"), params,
+                               metadata={"backbone": "mprnet"})
+
+        rng = np.random.default_rng(0)
+        deg_dir, tar_dir = tmp_path / "deg", tmp_path / "tar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        tar = rng.integers(0, 255, (40, 44, 3), dtype=np.uint8)
+        deg = np.clip(tar.astype(int) + rng.integers(-40, 40, tar.shape),
+                      0, 255).astype(np.uint8)
+        Image.fromarray(deg).save(deg_dir / "im0.png")
+        Image.fromarray(tar).save(tar_dir / "im0.png")
+
+        out_dir = tmp_path / "out"
+        test_main([
+            "--ckpt", ckpt, "--degset", str(deg_dir), "--tarset", str(tar_dir),
+            "--save", str(out_dir) + "/", "--savetar", str(tmp_path / "st") + "/",
+            "--saveres", str(tmp_path / "sr") + "/",
+        ])
+        got = capsys.readouterr().out
+        assert "PSNR: average" in got
+        assert os.listdir(out_dir) == ["im0.png"]
