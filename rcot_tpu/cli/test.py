@@ -84,15 +84,23 @@ def load_t_params(path: str, model_cfg, backbone: str = "auto"):
     from ..utils.config import Config, CriticConfig, TrainConfig
 
     meta = read_metadata(path)
-    if backbone == "auto":
-        backbone = meta.get("backbone", "restormer")
-    if backbone == "mprnet":
-        # mprnet npz checkpoints hold the raw T-params pytree (e.g. written
-        # by tools that port the distributed .pth weights once)
-        from ..models.mprnet import init_mprnet_tnet
-        template = init_mprnet_tnet(jax.random.PRNGKey(0))
+    raw_backbone = meta.get("backbone")  # tools/port_reference_ckpt.py marker
+    if raw_backbone is None and backbone == "mprnet" and not meta.get("config"):
+        raw_backbone = "mprnet"
+    if raw_backbone:
+        # raw T-params-pytree npz (e.g. the distributed .pth weights ported
+        # once by tools/port_reference_ckpt.py), marked by top-level backbone
+        # metadata — as opposed to trainer-saved full-TrainState checkpoints,
+        # whose backbone lives in metadata config.model.backbone (below)
+        if raw_backbone == "mprnet":
+            from ..models.mprnet import init_mprnet_tnet
+            template = jax.eval_shape(init_mprnet_tnet, jax.random.PRNGKey(0))
+        else:
+            from ..models.restormer import init_tnet
+            template = jax.eval_shape(
+                lambda k: init_tnet(k, model_cfg), jax.random.PRNGKey(0))
         params, _ = load_checkpoint(path, template)
-        return params, model_cfg, backbone
+        return params, model_cfg, raw_backbone
     meta_cfg = meta.get("config", {})
     if meta_cfg.get("model"):
         from ..utils.config import ModelConfig
@@ -111,7 +119,7 @@ def load_t_params(path: str, model_cfg, backbone: str = "auto"):
     template = jax.eval_shape(
         lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
     state, _ = load_checkpoint(path, template)
-    return state.t_params, model_cfg, "restormer"
+    return state.t_params, model_cfg, model_cfg.backbone
 
 
 def main(argv=None) -> None:

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (traces steps 3-8 of epoch 1)")
     # multi-host (jax.distributed); single-process runs leave these unset
+    p.add_argument("--backbone", choices=["restormer", "mprnet"], default=None,
+                   help="T_net backbone (default: the preset's; mprnet = the "
+                        "legacy paper-v1 one, reference Net.py:179-216)")
     p.add_argument("--coordinator", default=None,
                    help="jax.distributed coordinator address host:port")
     p.add_argument("--num-processes", type=int, default=None)
@@ -80,7 +83,10 @@ def overlay_config(cfg: Config, args: argparse.Namespace) -> Config:
     critic = cfg.critic
     if "patch_size" in d_over:
         critic = dataclasses.replace(critic, patch_size=d_over["patch_size"])
-    return cfg.replace(train=train, data=data, critic=critic)
+    model = cfg.model
+    if args.backbone:
+        model = dataclasses.replace(model, backbone=args.backbone)
+    return cfg.replace(train=train, data=data, critic=critic, model=model)
 
 
 def main(argv=None) -> None:

@@ -35,6 +35,17 @@ from .losses import gradient_penalty, t_loss, wgan_critic_loss
 from .optim import make_optimizer
 
 
+def make_model_apply(cfg: Config):
+    """fn(t_params, x) -> restored out2, for the configured T backbone
+    (cfg.model.backbone: flagship Restormer or the legacy MPRNet one)."""
+    if cfg.model.backbone == "mprnet":
+        from ..models.mprnet import apply_mprnet_tnet
+        return lambda tp, x: apply_mprnet_tnet(tp, x)[0]
+    if cfg.model.backbone != "restormer":
+        raise ValueError(f"unknown backbone {cfg.model.backbone!r}")
+    return lambda tp, x: apply_tnet(tp, x, cfg.model)[0]
+
+
 class TrainState(NamedTuple):
     """Full resumable training state (a pytree of arrays)."""
     t_params: Any
@@ -68,7 +79,13 @@ def create_train_state(key: jax.Array, cfg: Config, dtype=jnp.float32,
 
     def build(key):
         kt, kf = jax.random.split(key)
-        t_params = init_tnet(kt, cfg.model, dtype)
+        if cfg.model.backbone == "mprnet":
+            from ..models.mprnet import init_mprnet_tnet
+            t_params = init_mprnet_tnet(
+                kt, n_feat=cfg.model.mprnet_n_feat,
+                scale_unetfeats=cfg.model.mprnet_scale_feats, dtype=dtype)
+        else:
+            t_params = init_tnet(kt, cfg.model, dtype)
         f_params = init_fnet(kf, cfg.critic, dtype)
         t_tx, f_tx = make_optimizers(cfg)
         return TrainState(
@@ -119,13 +136,14 @@ def _set_lr(opt_state, lr):
 def make_f_step(cfg: Config):
     """Critic step: WGAN update then GP update (two optimizer steps)."""
     _, f_tx = make_optimizers(cfg)
+    model_apply = make_model_apply(cfg)
 
     def f_step(state: TrainState, batch: Batch, key: jax.Array, lr: jax.Array,
                fake: Optional[jax.Array] = None,
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if fake is None:
             # T forward, detached (reference uses .data, trainer.py:272).
-            out, _, _ = apply_tnet(state.t_params, batch.degraded, cfg.model)
+            out = model_apply(state.t_params, batch.degraded)
             fake = jax.lax.stop_gradient(out)
 
         def wgan(fp):
@@ -164,11 +182,12 @@ def make_f_step(cfg: Config):
 def make_t_step(cfg: Config):
     """Transport-map step: two-pass forward + OT cost, one update."""
     t_tx, _ = make_optimizers(cfg)
+    model_apply = make_model_apply(cfg)
 
     def t_step(state: TrainState, batch: Batch, paired: jax.Array, lr: jax.Array
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_fn(tp):
-            out, _, _ = apply_tnet(tp, batch.degraded, cfg.model)
+            out = model_apply(tp, batch.degraded)
             score = apply_fnet(state.f_params, out, cfg.critic)
             loss, aux = t_loss(
                 out, batch.degraded, batch.target, batch.de_id, score,
@@ -220,12 +239,12 @@ def make_train_iteration(cfg: Config):
         return iteration
 
     t_tx, _ = make_optimizers(cfg)
+    model_apply = make_model_apply(cfg)
 
     def iteration(state: TrainState, batch: Batch, key: jax.Array,
                   paired: jax.Array, lr: jax.Array):
         out2, t_vjp = jax.vjp(
-            lambda tp: apply_tnet(tp, batch.degraded, cfg.model)[0],
-            state.t_params)
+            lambda tp: model_apply(tp, batch.degraded), state.t_params)
 
         state, f_metrics = f_step(state, batch, key, lr,
                                   fake=jax.lax.stop_gradient(out2))

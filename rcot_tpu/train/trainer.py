@@ -217,14 +217,17 @@ class Trainer:
             # visual smoke artifacts on the LAST batch (reference dumps
             # output/degraded/target/res, trainer.py:355-358) — re-derive the
             # augmented batch from the raw host tensors (same key: step-1)
-            from ..models.restormer import apply_tnet
             from ..utils.image_io import save_sample_grid
+            if cfg.model.backbone == "mprnet":
+                from ..models.mprnet import apply_mprnet_tnet as _fwd3
+                fwd3 = lambda p, x: _fwd3(p, x)
+            else:
+                from ..models.restormer import apply_tnet
+                fwd3 = lambda p, x: apply_tnet(p, x, cfg.model)
             clean_l, deg_l, de_id_l = batch
             degraded, target = self._preproc(
                 np.int32(self.host_step - 1), clean_l, deg_l, de_id_l)
-            out, _, res = jax.jit(
-                lambda p, x: apply_tnet(p, x, cfg.model))(
-                    self.state.t_params, degraded)
+            out, _, res = jax.jit(fwd3)(self.state.t_params, degraded)
             save_sample_grid(
                 os.path.join(t.sample_dir, t.run_name), f"epoch{epoch}",
                 output=np.asarray(out, np.float32),
@@ -240,7 +243,8 @@ class Trainer:
         from ..metrics.quality import psnr
 
         if self._restorer is None:
-            self._restorer = make_restorer(self.state.t_params, self.cfg.model)
+            self._restorer = make_restorer(self.state.t_params, self.cfg.model,
+                                           backbone=self.cfg.model.backbone)
         else:
             self._restorer.update_params(self.state.t_params)
         restorer = self._restorer

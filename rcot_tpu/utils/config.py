@@ -42,6 +42,13 @@ NOISE_SIGMAS: Dict[int, float] = {0: 15.0, 1: 25.0, 2: 50.0}
 class ModelConfig:
     """RCOT two-pass Restormer transport map (reference: Net_Restormer.py:215-434)."""
 
+    # Which T_net: "restormer" (flagship, Net_Restormer.py:215-434) or
+    # "mprnet" (legacy paper-v1 backbone, Net.py:179-216 — the one the
+    # distributed pretrained weights use). The Restormer fields below are
+    # ignored for mprnet, which uses its canonical n_feat/scale dims.
+    backbone: str = "restormer"
+    mprnet_n_feat: int = 80
+    mprnet_scale_feats: int = 48
     inp_channels: int = 3
     out_channels: int = 3
     dim: int = 48

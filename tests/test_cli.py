@@ -35,6 +35,14 @@ class TestTrainCLI:
         cfg = overlay_config(get_preset("derain"), args)
         assert cfg.critic.patch_size == 64
 
+    def test_backbone_override(self):
+        p = build_parser()
+        cfg = overlay_config(get_preset("derain"), p.parse_args([]))
+        assert cfg.model.backbone == "restormer"
+        cfg = overlay_config(get_preset("derain"),
+                             p.parse_args(["--backbone", "mprnet"]))
+        assert cfg.model.backbone == "mprnet"
+
     def test_defaults_untouched_without_flags(self):
         p = build_parser()
         args = p.parse_args([])

@@ -136,6 +136,32 @@ class TestSteps:
         for k, v in m.items():
             assert np.isfinite(float(v)), k
 
+    def test_full_iteration_mprnet_backbone(self, tiny_config):
+        """The legacy MPRNet backbone trains through the same minimax
+        iteration (cfg.model.backbone dispatch, train/steps.py): finite
+        metrics and the T params actually move."""
+        import dataclasses
+        cfg = tiny_config.replace(model=dataclasses.replace(
+            tiny_config.model, backbone="mprnet", mprnet_n_feat=8,
+            mprnet_scale_feats=4))
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        assert "prelu_a" in state.t_params  # mprnet pytree, not restormer
+        batch = Batch(
+            degraded=jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)),
+            target=jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3)),
+            de_id=jnp.array([0, 3], jnp.int32),
+        )
+        s, m = jax.jit(make_train_iteration(cfg))(
+            state, batch, jax.random.PRNGKey(9), jnp.array(True),
+            jnp.float32(1e-4))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), k
+        t_changed = any(
+            not bool(jnp.array_equal(a, b))
+            for a, b in zip(jax.tree_util.tree_leaves(state.t_params),
+                            jax.tree_util.tree_leaves(s.t_params)))
+        assert t_changed
+
     @pytest.mark.slow
     def test_single_fwd_iteration_matches_two_fwd(self, setup, monkeypatch):
         """The hoisted-vjp single-T-forward iteration (train/steps.py,
