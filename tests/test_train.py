@@ -136,6 +136,7 @@ class TestSteps:
         for k, v in m.items():
             assert np.isfinite(float(v)), k
 
+    @pytest.mark.slow  # the CAB-dense graph compiles ~2 min on CPU
     def test_full_iteration_mprnet_backbone(self, tiny_config):
         """The legacy MPRNet backbone trains through the same minimax
         iteration (cfg.model.backbone dispatch, train/steps.py): finite
