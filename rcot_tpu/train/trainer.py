@@ -39,6 +39,12 @@ class InjectedFailure(RuntimeError):
     """Raised by --fail-at-step fault injection."""
 
 
+class Preempted(Exception):
+    """Internal: a SIGTERM/SIGINT arrived; the loop checkpointed and stopped.
+    fit() catches this and returns normally — preemption is an expected
+    lifecycle event on TPU pods, not an error."""
+
+
 class Trainer:
     def __init__(self, cfg: Config, *, mesh=None, log_path: Optional[str] = None):
         from ..utils.compilation_cache import enable_compilation_cache
@@ -85,6 +91,9 @@ class Trainer:
         # host mirror of state.step: reading the device scalar every iteration
         # would force a sync and stall the pipeline.
         self.host_step = 0
+        # set asynchronously by the SIGTERM/SIGINT handler fit() installs;
+        # the loop checkpoints and stops at the next step boundary
+        self._preempted = False
 
     # ------------------------------------------------------------ state
 
@@ -180,6 +189,14 @@ class Trainer:
                 paired, lr)
             batch = (clean, deg, de_id)  # raw host batch, for the sample dump
             self.host_step += 1
+            if self._preempted:
+                # TPU-pod preemption (SIGTERM) / Ctrl-C: flush a resumable
+                # mid-epoch checkpoint at the step boundary, then stop.
+                jax.block_until_ready(self.state)
+                path = self.save(epoch, epoch_step=step_idx + 1)
+                self.log.log("preempted", epoch=epoch, step=self.host_step,
+                             ckpt=path)
+                raise Preempted(path)
             if t.ckpt_every_steps and (step_idx + 1) % t.ckpt_every_steps == 0:
                 self.save(epoch, epoch_step=step_idx + 1)
             if step_idx % t.log_every == 0:
@@ -265,15 +282,47 @@ class Trainer:
         if self.state is None:
             self.init_state()
         t = self.cfg.train
-        for epoch in range(self.start_epoch, t.num_epochs + 1):
-            start = self.start_step if epoch == self.start_epoch else 0
-            self.train_epoch(epoch, start,
-                             profile_dir if epoch == self.start_epoch else None)
-            if eval_degset and epoch % t.eval_every == 0:
-                p = self.evaluate_folder(eval_degset, eval_tarset)
-                self.log.log("validation", epoch=epoch, psnr=p,
-                             patch_size=self.cfg.data.patch_size,
-                             batch_size=t.batch_size)
-            if epoch % t.ckpt_every == 0:
-                self.save(epoch + 1)  # resume starts at the NEXT epoch
+        restore = self._install_preemption_handlers()
+        try:
+            for epoch in range(self.start_epoch, t.num_epochs + 1):
+                start = self.start_step if epoch == self.start_epoch else 0
+                self.train_epoch(
+                    epoch, start,
+                    profile_dir if epoch == self.start_epoch else None)
+                if eval_degset and epoch % t.eval_every == 0:
+                    p = self.evaluate_folder(eval_degset, eval_tarset)
+                    self.log.log("validation", epoch=epoch, psnr=p,
+                                 patch_size=self.cfg.data.patch_size,
+                                 batch_size=t.batch_size)
+                if epoch % t.ckpt_every == 0:
+                    self.save(epoch + 1)  # resume starts at the NEXT epoch
+        except Preempted:
+            pass  # checkpointed + logged at the step boundary; clean stop
+        finally:
+            restore()
         return self.state
+
+    def _install_preemption_handlers(self):
+        """SIGTERM (pod preemption) / SIGINT flip a flag; the train loop
+        checkpoints at the next step boundary and stops cleanly. Returns a
+        restore() callable; a no-op off the main thread (signal.signal
+        raises there) and for a second Ctrl-C (the restored default handler
+        kills the run the usual way)."""
+        import signal
+
+        def on_signal(signum, frame):
+            self._preempted = True
+
+        previous = {}
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                previous[s] = signal.signal(s, on_signal)
+        except ValueError:  # not the main thread
+            pass
+
+        def restore():
+            import signal as _signal
+            for s, h in previous.items():
+                _signal.signal(s, h)
+
+        return restore

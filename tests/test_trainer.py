@@ -79,6 +79,40 @@ class TestTrainerLoop:
         tr2.fit()
         assert tr2.host_step == 4  # completed the epoch, no rework of 0-1
 
+    def test_preemption_checkpoints_and_resumes(self, data_tree, tmp_path):
+        """SIGTERM-style preemption (TPU pods): the flag set by the signal
+        handler makes the loop flush a resumable mid-epoch checkpoint at the
+        next step boundary, log 'preempted', and return cleanly from fit()."""
+        import signal
+
+        cfg = make_cfg(data_tree, tmp_path)
+        log = str(tmp_path / "log.jsonl")
+        tr = Trainer(cfg, log_path=log)
+        # deliver the signal the way the OS would, via the installed handler
+        orig = signal.getsignal(signal.SIGTERM)
+        restore = tr._install_preemption_handlers()
+        try:
+            assert signal.getsignal(signal.SIGTERM) is not orig
+            os.kill(os.getpid(), signal.SIGTERM)
+        finally:
+            restore()
+        assert signal.getsignal(signal.SIGTERM) is orig
+        assert tr._preempted
+
+        tr.fit()  # flag already set -> one step, checkpoint, clean stop
+        assert tr.host_step == 1
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert "preempted" in events
+        ckpt = os.path.join(cfg.train.ckpt_dir, "latest.npz")
+        assert os.path.exists(ckpt)
+
+        cfg2 = make_cfg(data_tree, tmp_path)
+        tr2 = Trainer(cfg2, log_path=None)
+        tr2.resume(ckpt)
+        assert tr2.start_step == 1
+        tr2.fit()
+        assert tr2.host_step == 4  # finished the epoch from the preempt point
+
     def test_fit_with_data_parallel_mesh(self, data_tree, tmp_path):
         """Trainer end-to-end over a 4-device 'data' mesh: replicated state,
         sharded batches, gradient all-reduce inserted by XLA."""
