@@ -62,10 +62,11 @@ def main(argv=None) -> None:
     from .test import load_t_params
 
     enable_compilation_cache()
-    params, model_cfg = load_t_params(args.ckpt, ModelConfig())
+    params, model_cfg, backbone = load_t_params(args.ckpt, ModelConfig())
     restorer = make_restorer(
         params, model_cfg, tile=args.tile, tile_overlap=args.tile_overlap,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        backbone=backbone)
 
     results = {}
     if args.denoise_path:

@@ -163,7 +163,15 @@ def main(argv=None) -> None:
                 if args.batch > 1 else
                 [restorer(deg) for _, deg, _ in chunk])
         for (name, deg, tar), out in zip(chunk, outs):
-            res = deg - out
+            if out.shape != deg.shape:  # legacy SR mode: LR in, HR out
+                from PIL import Image
+                lr = Image.fromarray(
+                    np.clip(deg * 255.0 + 0.5, 0, 255).astype(np.uint8))
+                up = lr.resize((out.shape[1], out.shape[0]), Image.BICUBIC)
+                deg_vis = np.asarray(up, np.float32) / 255.0
+            else:
+                deg_vis = deg
+            res = deg_vis - out
             save_png(os.path.join(args.saveres, name), 2.0 * res)
             save_png(os.path.join(args.save, name), out)
             save_png(os.path.join(args.savetar, name), tar)
@@ -188,8 +196,11 @@ def main(argv=None) -> None:
         name = os.path.basename(deg_path)
         deg = load_rgb(deg_path).astype(np.float32) / 255.0
         tar = load_rgb(tar_path).astype(np.float32) / 255.0
-        if deg.shape != tar.shape:
-            print(f"skip {name}: shape mismatch {deg.shape} vs {tar.shape}")
+        s = max(args.sr_scale, 1)
+        expect = (deg.shape[0] * s, deg.shape[1] * s, deg.shape[2])
+        if tar.shape != expect:
+            print(f"skip {name}: shape mismatch {deg.shape} vs {tar.shape}"
+                  + (f" (sr x{s})" if s > 1 else ""))
             continue
         if args.noise_sigma > 0:
             noise = rng.standard_normal(tar.shape) * args.noise_sigma / 255.0

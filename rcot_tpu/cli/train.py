@@ -114,10 +114,30 @@ def main(argv=None) -> None:
     elif args.pretrained:
         from ..compat.torch_port import load_reference_checkpoint
         trainer.init_state()
-        t_params, f_params, _, _ = load_reference_checkpoint(
-            args.pretrained, cfg.model, cfg.critic)
-        trainer.state = trainer.state._replace(
-            t_params=t_params, f_params=f_params)
+        t_params, f_params, _, detected = load_reference_checkpoint(
+            args.pretrained, cfg.model, cfg.critic, backbone="auto")
+        if detected != cfg.model.backbone:
+            raise SystemExit(
+                f"--pretrained checkpoint is a {detected} backbone but the "
+                f"run is configured for {cfg.model.backbone}; pass "
+                f"--backbone {detected}")
+        # the critic head is patch-size-bound (SURVEY.md §2.2 #13): carry the
+        # pretrained critic only when its shapes match this run's config,
+        # else keep the fresh init (the transport map is the point of
+        # --pretrained; the reference would simply crash here)
+        import jax
+
+        def shapes(t):
+            return [(getattr(x, "shape", None)) for x in
+                    jax.tree_util.tree_leaves(t)]
+
+        if shapes(f_params) == shapes(trainer.state.f_params):
+            trainer.state = trainer.state._replace(
+                t_params=t_params, f_params=f_params)
+        else:
+            print("note: pretrained critic head does not match this run's "
+                  "patch size; keeping a fresh critic init")
+            trainer.state = trainer.state._replace(t_params=t_params)
     trainer.fit(eval_degset=args.degset, eval_tarset=args.tarset,
                 profile_dir=args.profile_dir)
 

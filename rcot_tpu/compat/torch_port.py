@@ -17,6 +17,7 @@ dict (so tests don't require torch).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Mapping
 
 import numpy as np
@@ -261,7 +262,13 @@ def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
     f_sd = ckpt["Fnet"].state_dict()
     if backbone == "auto":
         backbone = detect_backbone(t_sd)
-    t_params = (port_mprnet_state_dict(t_sd) if backbone == "mprnet"
-                else port_tnet_state_dict(t_sd, model_cfg))
+    if backbone == "mprnet":
+        t_params = port_mprnet_state_dict(t_sd)
+        # the legacy critic head is FIXED at 512*8*8 -> 2048 (patch 256,
+        # Net.py:275) regardless of the caller's training patch config
+        critic_cfg = dataclasses.replace(critic_cfg, patch_size=256,
+                                         fc_mid=2048, head="flatten")
+    else:
+        t_params = port_tnet_state_dict(t_sd, model_cfg)
     return (t_params, port_fnet_state_dict(f_sd, critic_cfg),
             int(ckpt.get("epoch", 0)), backbone)

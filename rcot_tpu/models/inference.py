@@ -85,11 +85,18 @@ class Restorer:
     def __init__(self, model_fn: Callable, *, params=None,
                  pad_base: int = 8,
                  buckets: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024),
-                 tile: int = 0, tile_overlap: int = 32, mesh=None):
+                 tile: int = 0, tile_overlap: int = 32, mesh=None,
+                 out_scale: int = 1):
         self.pad_base = pad_base
         self.buckets = buckets
         self.tile = tile
         self.tile_overlap = tile_overlap
+        # model_fn maps (B,H,W,C) -> (B,H*out_scale,W*out_scale,C) (legacy SR
+        # mode upsamples inside the forward, Net.py:182-183); crops scale too
+        self.out_scale = out_scale
+        if out_scale != 1 and tile:
+            raise ValueError("tiled inference does not support out_scale != 1 "
+                             "(whole-image SR inputs are small by nature)")
         self.params = params
         self._takes_params = params is not None
         self._mesh = mesh
@@ -153,9 +160,10 @@ class Restorer:
                                 bh - imgs[i].shape[0], bw - imgs[i].shape[1])
                 for i in idxs])
             ys = self._fwd(batch)
+            s = self.out_scale
             for k, i in enumerate(idxs):
                 h, w = imgs[i].shape[:2]
-                out[i] = np.asarray(ys[k, :h, :w, :])
+                out[i] = np.asarray(ys[k, :h * s, :w * s, :])
         return out  # type: ignore[return-value]
 
     def _whole(self, x: jax.Array) -> jax.Array:
@@ -164,7 +172,8 @@ class Restorer:
         bw = bucket_size(w, self.pad_base, self.buckets)
         padded = _reflect_pad_hw(x, bh - h, bw - w) if (bh > h or bw > w) else x
         y = self._fwd(padded)
-        return y[:, :h, :w, :]
+        s = self.out_scale
+        return y[:, :h * s, :w * s, :]
 
     def _tiled(self, x: jax.Array) -> jax.Array:
         """Overlap-tiled restoration with FEATHERED blending; all tiles run
@@ -219,6 +228,10 @@ def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
     reference: README.md:118-120 / Net.py:179-216). sr_scale applies the
     legacy SR-mode bicubic pre-upsample (Net.py:182-183, mprnet only)."""
     if backbone == "restormer":
+        if sr_scale:
+            raise ValueError(
+                "sr_scale is a legacy (mprnet) mode; the Restormer-era SR "
+                "recipe feeds pre-upscaled bicubic inputs (README.md:17)")
         from .restormer import apply_tnet
 
         def fn(p, x):
@@ -235,4 +248,4 @@ def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
         raise ValueError(f"unknown backbone {backbone!r}")
 
     return Restorer(fn, params=params, tile=tile, tile_overlap=tile_overlap,
-                    mesh=mesh)
+                    mesh=mesh, out_scale=sr_scale or 1)

@@ -35,15 +35,21 @@ from .losses import gradient_penalty, t_loss, wgan_critic_loss
 from .optim import make_optimizer
 
 
-def make_model_apply(cfg: Config):
-    """fn(t_params, x) -> restored out2, for the configured T backbone
-    (cfg.model.backbone: flagship Restormer or the legacy MPRNet one)."""
+def make_model_apply(cfg: Config, *, full: bool = False):
+    """The configured T backbone (cfg.model.backbone: flagship Restormer or
+    the legacy MPRNet one) as fn(t_params, x) -> out2, or with full=True
+    -> (out2, out1, res)."""
     if cfg.model.backbone == "mprnet":
         from ..models.mprnet import apply_mprnet_tnet
-        return lambda tp, x: apply_mprnet_tnet(tp, x)[0]
-    if cfg.model.backbone != "restormer":
+
+        def fn3(tp, x):
+            return apply_mprnet_tnet(tp, x)
+    elif cfg.model.backbone == "restormer":
+        def fn3(tp, x):
+            return apply_tnet(tp, x, cfg.model)
+    else:
         raise ValueError(f"unknown backbone {cfg.model.backbone!r}")
-    return lambda tp, x: apply_tnet(tp, x, cfg.model)[0]
+    return fn3 if full else (lambda tp, x: fn3(tp, x)[0])
 
 
 class TrainState(NamedTuple):

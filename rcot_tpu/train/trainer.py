@@ -235,16 +235,12 @@ class Trainer:
             # output/degraded/target/res, trainer.py:355-358) — re-derive the
             # augmented batch from the raw host tensors (same key: step-1)
             from ..utils.image_io import save_sample_grid
-            if cfg.model.backbone == "mprnet":
-                from ..models.mprnet import apply_mprnet_tnet as _fwd3
-                fwd3 = lambda p, x: _fwd3(p, x)
-            else:
-                from ..models.restormer import apply_tnet
-                fwd3 = lambda p, x: apply_tnet(p, x, cfg.model)
+            from .steps import make_model_apply
             clean_l, deg_l, de_id_l = batch
             degraded, target = self._preproc(
                 np.int32(self.host_step - 1), clean_l, deg_l, de_id_l)
-            out, _, res = jax.jit(fwd3)(self.state.t_params, degraded)
+            out, _, res = jax.jit(make_model_apply(cfg, full=True))(
+                self.state.t_params, degraded)
             save_sample_grid(
                 os.path.join(t.sample_dir, t.run_name), f"epoch{epoch}",
                 output=np.asarray(out, np.float32),
@@ -304,13 +300,17 @@ class Trainer:
 
     def _install_preemption_handlers(self):
         """SIGTERM (pod preemption) / SIGINT flip a flag; the train loop
-        checkpoints at the next step boundary and stops cleanly. Returns a
-        restore() callable; a no-op off the main thread (signal.signal
-        raises there) and for a second Ctrl-C (the restored default handler
-        kills the run the usual way)."""
+        checkpoints at the next step boundary and stops cleanly. A SECOND
+        SIGINT raises KeyboardInterrupt from the handler — the escape hatch
+        when no step boundary is coming (e.g. mid-compile; note CPython only
+        delivers handlers between bytecodes, so a long foreign compile call
+        defers either behavior identically). Returns a restore() callable;
+        a no-op off the main thread (signal.signal raises there)."""
         import signal
 
         def on_signal(signum, frame):
+            if signum == signal.SIGINT and self._preempted:
+                raise KeyboardInterrupt
             self._preempted = True
 
         previous = {}

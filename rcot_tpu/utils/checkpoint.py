@@ -98,7 +98,11 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
              if f.startswith(base + "_step") and f.endswith(".npz")),
             key=step_of)
         for old in siblings[:-keep_n]:
-            os.unlink(os.path.join(d, old))
+            # never prune the file just written (latest.npz points at it) —
+            # stale HIGHER-step files from a previous run in the same dir
+            # would otherwise sort it into the delete set
+            if old != os.path.basename(path):
+                os.unlink(os.path.join(d, old))
     return path
 
 

@@ -63,6 +63,17 @@ class TestCheckpoint:
         assert latest.exists() and os.path.basename(
             os.readlink(latest)) == "run_step112.npz"
 
+    def test_keep_n_never_prunes_the_fresh_write(self, tmp_path):
+        """Stale HIGHER-step files from a previous run in the same dir must
+        not make pruning delete the checkpoint just written (latest.npz
+        points at it)."""
+        for i in (500, 510):
+            save_checkpoint(str(tmp_path / f"run_step{i}"), _state(i))
+        path = save_checkpoint(str(tmp_path / "run_step1"), _state(1), keep_n=1)
+        assert os.path.exists(path)
+        latest = tmp_path / "latest.npz"
+        assert os.path.basename(os.readlink(latest)) == "run_step1.npz"
+
     def test_shape_mismatch_raises(self, tmp_path):
         path = save_checkpoint(str(tmp_path / "c"), {"w": jnp.ones((2, 2))})
         with pytest.raises(ValueError, match="shape mismatch"):

@@ -151,6 +151,35 @@ class TestTesterCLI:
         assert "PSNR: average" in got and "LPIPS: average" in got
         assert sorted(os.listdir(out_dir)) == ["im0.png", "im1.png", "im2.png"]
 
+    @pytest.mark.slow
+    def test_rcot_eval_denoise_end_to_end(self, tiny_config, tmp_path, capsys):
+        """Drive the unified eval CLI for real (its load_t_params unpack
+        once broke with only the parser under test): tiny checkpoint +
+        one-image denoise folder -> per-sigma PSNR/SSIM summary."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.eval_all import main as eval_main
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), tiny_config)
+        ckpt = save_checkpoint(
+            str(tmp_path / "m_step0"), state,
+            metadata={"config": tiny_config.to_dict()})
+        os.makedirs(tmp_path / "clean")
+        rng = np.random.default_rng(0)
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+                        ).save(tmp_path / "clean" / "im0.png")
+
+        out_json = tmp_path / "summary.json"
+        eval_main(["--ckpt", ckpt, "--denoise-path", str(tmp_path / "clean"),
+                   "--sigmas", "25", "--json-out", str(out_json)])
+        import json as _json
+        summary = _json.loads(out_json.read_text())["results"]
+        assert "denoise_sigma25" in summary
+        assert np.isfinite(summary["denoise_sigma25"]["psnr"])
+
     def test_detect_backbone(self):
         from rcot_tpu.compat.torch_port import detect_backbone
         assert detect_backbone({"shallow_feat1.0.weight": 0}) == "mprnet"

@@ -53,6 +53,22 @@ class TestRestorer:
         r(rng.uniform(size=(120, 104, 3)).astype(np.float32))  # same 128-bucket
         assert r._jitted._cache_size() == compiled_before
 
+    def test_out_scale_sr_shapes(self, rng):
+        """Legacy SR mode (model upsamples inside the forward): outputs are
+        (H*s, W*s) and padding crops scale with it; tiling + SR is refused."""
+        def up2(x):  # stand-in for apply_mprnet_tnet(sr_scale=2)
+            b, h, w, c = x.shape
+            return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+
+        r = Restorer(up2, out_scale=2)
+        img = rng.uniform(size=(20, 26, 3)).astype(np.float32)  # off-mod-8
+        out = r(img)
+        assert out.shape == (40, 52, 3)
+        outs = r.restore_batch([img, rng.uniform(size=(30, 18, 3)).astype(np.float32)])
+        assert outs[0].shape == (40, 52, 3) and outs[1].shape == (60, 36, 3)
+        with pytest.raises(ValueError, match="out_scale"):
+            Restorer(up2, out_scale=2, tile=32)
+
     def test_tiled_matches_whole_for_shift_invariant_fn(self, rng):
         """With an elementwise model fn, tiled blending must be exact."""
         r = Restorer(lambda x: x * 0.5 + 0.1, tile=32, tile_overlap=8)

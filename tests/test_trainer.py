@@ -94,6 +94,13 @@ class TestTrainerLoop:
         try:
             assert signal.getsignal(signal.SIGTERM) is not orig
             os.kill(os.getpid(), signal.SIGTERM)
+            import time
+            time.sleep(0.05)  # let the handler run
+            assert tr._preempted
+            # second Ctrl-C is the escape hatch: raises instead of flagging
+            with pytest.raises(KeyboardInterrupt):
+                os.kill(os.getpid(), signal.SIGINT)
+                time.sleep(0.2)
         finally:
             restore()
         assert signal.getsignal(signal.SIGTERM) is orig
