@@ -180,6 +180,38 @@ class TestTesterCLI:
         assert "denoise_sigma25" in summary
         assert np.isfinite(summary["denoise_sigma25"]["psnr"])
 
+    def test_rcot_test_mprnet_sr_scale(self, tmp_path, capsys):
+        """Legacy SR mode end-to-end: LR degraded folder + x2 HR targets,
+        --sr-scale 2 -> HR outputs, finite metrics, res dump upsampled."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.test import main as test_main
+        from rcot_tpu.models.mprnet import init_mprnet_tnet
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        params = init_mprnet_tnet(jax.random.PRNGKey(0))
+        ckpt = save_checkpoint(str(tmp_path / "legacy_step0"), params,
+                               metadata={"backbone": "mprnet"})
+        rng = np.random.default_rng(0)
+        deg_dir, tar_dir = tmp_path / "deg", tmp_path / "tar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        hr = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+        Image.fromarray(hr).save(tar_dir / "im0.png")
+        Image.fromarray(hr).resize((20, 24), Image.BICUBIC).save(
+            deg_dir / "im0.png")
+
+        out_dir = tmp_path / "out"
+        test_main([
+            "--ckpt", ckpt, "--degset", str(deg_dir), "--tarset", str(tar_dir),
+            "--save", str(out_dir) + "/", "--savetar", str(tmp_path / "st") + "/",
+            "--saveres", str(tmp_path / "sr") + "/", "--sr-scale", "2",
+        ])
+        assert "PSNR: average" in capsys.readouterr().out
+        out = np.asarray(Image.open(out_dir / "im0.png"))
+        assert out.shape == (48, 40, 3)  # HR-sized restoration
+
     def test_detect_backbone(self):
         from rcot_tpu.compat.torch_port import detect_backbone
         assert detect_backbone({"shallow_feat1.0.weight": 0}) == "mprnet"
