@@ -43,20 +43,78 @@ A100_ASSUMED_UTIL = 0.10
 REF_ITER_FLOPS = 1.7589e12
 
 
+def _bench_cfg():
+    import dataclasses
+
+    from rcot_tpu.utils.config import get_preset
+
+    cfg = get_preset(os.environ.get("RCOT_BENCH_PRESET", "derain"))
+    return cfg.replace(train=dataclasses.replace(cfg.train, dtype="bfloat16"))
+
+
+def warm_only():
+    """Compile the bench iteration into the persistent cache and exit.
+
+    Run as a SUBPROCESS before the parent touches the accelerator (only one
+    TPU process may attach at a time): a crashed OR WEDGED remote compile
+    (observed: the axon tunnel can hang a process indefinitely after a
+    helper crash) then costs a bounded child, not the benchmark itself —
+    the parent's own compile becomes a fast cache hit."""
+    from rcot_tpu.train.steps import create_train_state, make_train_iteration
+    from rcot_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = _bench_cfg()
+    bs, ps = cfg.train.batch_size, cfg.data.patch_size
+    act = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    state_aval = jax.eval_shape(
+        lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
+    from rcot_tpu.train.steps import Batch
+    batch_aval = Batch(
+        degraded=jax.ShapeDtypeStruct((bs, ps, ps, 3), act),
+        target=jax.ShapeDtypeStruct((bs, ps, ps, 3), act),
+        de_id=jax.ShapeDtypeStruct((bs,), jnp.int32))
+    jax.jit(make_train_iteration(cfg), donate_argnums=(0,)).lower(
+        state_aval, batch_aval,
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((), jnp.bool_),
+        jax.ShapeDtypeStruct((), jnp.float32)).compile()
+    print("warm ok")
+
+
+def _warm_cache_subprocess():
+    """Best-effort bounded cache warm; never fails the bench."""
+    import subprocess
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--warm-only"],
+                timeout=1500, capture_output=True, text=True)
+            if r.returncode == 0:
+                return True
+            print(f"warm attempt {attempt + 1} rc={r.returncode}: "
+                  f"{r.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"warm attempt {attempt + 1} timed out (wedged tunnel?)",
+                  file=sys.stderr)
+    return False
+
+
 def main():
     from rcot_tpu.train.steps import Batch, create_train_state, make_train_iteration
     from rcot_tpu.utils.compilation_cache import enable_compilation_cache
-    from rcot_tpu.utils.config import get_preset
+
+    # BEFORE any accelerator attach in this process (single-TPU-process rule)
+    if os.environ.get("RCOT_BENCH_WARM", "1") not in ("", "0"):
+        _warm_cache_subprocess()
 
     enable_compilation_cache()
 
-    import dataclasses
-
     # batch 3, patch 128 — the canonical README recipe; bfloat16 activations
     # (params/grads/optimizer stay fp32 — standard TPU mixed precision,
-    # measured ~12% faster than fp32 activations on v5e).
-    cfg = get_preset(os.environ.get("RCOT_BENCH_PRESET", "derain"))
-    cfg = cfg.replace(train=dataclasses.replace(cfg.train, dtype="bfloat16"))
+    # measured ~12% faster than fp32 activations on v5e). Must stay
+    # identical to warm_only()'s cfg so the subprocess warm hits the cache.
+    cfg = _bench_cfg()
     bs, ps = cfg.train.batch_size, cfg.data.patch_size
 
     state = create_train_state(jax.random.PRNGKey(0), cfg)
@@ -221,4 +279,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--warm-only" in sys.argv:
+        sys.exit(warm_only())
     sys.exit(main())
