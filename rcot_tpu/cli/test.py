@@ -172,7 +172,10 @@ def main(argv=None) -> None:
             else:
                 deg_vis = deg
             res = deg_vis - out
-            save_png(os.path.join(args.saveres, name), 2.0 * res)
+            # residual dump gain: x2 normally (tester.py:106), x3 in noise
+            # mode (tester_noise.py:116)
+            res_gain = 3.0 if args.noise_sigma > 0 else 2.0
+            save_png(os.path.join(args.saveres, name), res_gain * res)
             save_png(os.path.join(args.save, name), out)
             save_png(os.path.join(args.savetar, name), tar)
 

@@ -180,6 +180,37 @@ class TestTesterCLI:
         assert "denoise_sigma25" in summary
         assert np.isfinite(summary["denoise_sigma25"]["psnr"])
 
+    def test_rcot_test_noise_mode(self, tmp_path, capsys):
+        """tester_noise parity mode: --noise-sigma synthesizes seeded noise
+        on the GT (reference: tester_noise.py:93-99) and dumps res x3
+        (:116) instead of x2."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.test import main as test_main
+        from rcot_tpu.models.mprnet import init_mprnet_tnet
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        params = init_mprnet_tnet(jax.random.PRNGKey(0))
+        ckpt = save_checkpoint(str(tmp_path / "legacy_step0"), params,
+                               metadata={"backbone": "mprnet"})
+        rng = np.random.default_rng(0)
+        deg_dir, tar_dir = tmp_path / "deg", tmp_path / "tar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        tar = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(tar).save(tar_dir / "im0.png")
+        Image.fromarray(tar).save(deg_dir / "im0.png")  # ignored in noise mode
+
+        test_main([
+            "--ckpt", ckpt, "--degset", str(deg_dir), "--tarset", str(tar_dir),
+            "--save", str(tmp_path / "out") + "/",
+            "--savetar", str(tmp_path / "st") + "/",
+            "--saveres", str(tmp_path / "sr") + "/", "--noise-sigma", "50",
+        ])
+        assert "PSNR: average" in capsys.readouterr().out
+        assert os.listdir(tmp_path / "sr") == ["im0.png"]
+
     def test_rcot_test_mprnet_sr_scale(self, tmp_path, capsys):
         """Legacy SR mode end-to-end: LR degraded folder + x2 HR targets,
         --sr-scale 2 -> HR outputs, finite metrics, res dump upsampled."""
