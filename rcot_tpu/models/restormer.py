@@ -65,16 +65,22 @@ def transformer_block(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
         # (proj+residual+LN2+GDFN+residual, mode "full") or the composed
         # tail (mode "head" — used when the gram tier is active, whose
         # backward cannot share a program with the tail backward).
-        from ..ops.attention import mdta_core
+        from ..ops.attention import mdta_core, mdta_qkv
         from ..ops.pallas_block import block_head, block_tail
         interp = dispatch.pallas_interpret()
         at, f = p["attn"], p["ffn"]
-        qkv = block_head(
-            x, jnp.asarray(p["norm1"]["w"]), _ln_b(p["norm1"]),
-            at["qkv"]["w"][0, 0].astype(x.dtype),
-            at["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype), interpret=interp)
+        if mode == "tail":
+            # tail-kernel-only composition: composed LN1 + fused-tier qkv
+            # instead of the head kernel (fewer Mosaic kernels per program)
+            qkv = mdta_qkv(at, layernorm(p["norm1"], x))
+        else:
+            qkv = block_head(
+                x, jnp.asarray(p["norm1"]["w"]), _ln_b(p["norm1"]),
+                at["qkv"]["w"][0, 0].astype(x.dtype),
+                at["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype),
+                interpret=interp)
         a = mdta_core(at, qkv, num_heads)
-        if mode == "full":
+        if mode in ("full", "tail"):
             return block_tail(
                 x, a, at["proj"]["w"][0, 0].astype(x.dtype),
                 jnp.asarray(p["norm2"]["w"]), _ln_b(p["norm2"]),

@@ -86,6 +86,34 @@ def mdta_core(p: dict, qkv: jax.Array, num_heads: int) -> jax.Array:
     return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
 
 
+def mdta_qkv(p: dict, x: jax.Array) -> jax.Array:
+    """The qkv half of MDTA (1x1 projection + 3x3 depthwise), tier-dispatched
+    — shared by mdta() and the block-tail-only composition
+    (models/restormer.py transformer_block, mode 'tail')."""
+    from . import dispatch
+
+    c = x.shape[-1]
+    from .conv import depthwise3x3_shifts
+    if (dispatch.pallas_enabled() and dispatch.pallas_fused_on()
+            and "b" not in p["qkv"] and not dispatch.ablate("dwconv")):
+        # 1x1 qkv projection + its depthwise conv in one Pallas kernel
+        # (ops/pallas_fused.py) — the 3C-wide qkv tensor is built in VMEM
+        from .pallas_fused import conv1x1_dw_fused
+        return conv1x1_dw_fused(x, p["qkv"]["w"][0, 0].astype(x.dtype),
+                                p["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype),
+                                interpret=dispatch.pallas_interpret())
+    if dispatch.ablate("dwconv"):
+        return conv2d(p["qkv"], x)  # measurement-only (ops/dispatch.py)
+    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+        from .pallas_dwconv import dwconv3x3_pallas
+        return dwconv3x3_pallas(conv2d(p["qkv"], x),
+                                p["qkv_dw"]["w"][:, :, 0, :],
+                                dispatch.pallas_interpret())
+    if dispatch.dwconv_shifts_on():
+        return depthwise3x3_shifts(p["qkv_dw"], conv2d(p["qkv"], x))
+    return conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
+
+
 def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     """x: (B, H, W, C) -> (B, H, W, C).
 
@@ -100,29 +128,8 @@ def mdta(p: dict, x: jax.Array, num_heads: int) -> jax.Array:
     """
     from . import dispatch
 
-    b, h, w, c = x.shape
-    ch = c // num_heads
-
-    from .conv import depthwise3x3_shifts
-    if (dispatch.pallas_enabled() and dispatch.pallas_fused_on()
-            and "b" not in p["qkv"] and not dispatch.ablate("dwconv")):
-        # 1x1 qkv projection + its depthwise conv in one Pallas kernel
-        # (ops/pallas_fused.py) — the 3C-wide qkv tensor is built in VMEM
-        from .pallas_fused import conv1x1_dw_fused
-        qkv = conv1x1_dw_fused(x, p["qkv"]["w"][0, 0].astype(x.dtype),
-                               p["qkv_dw"]["w"][:, :, 0, :].astype(x.dtype),
-                               interpret=dispatch.pallas_interpret())
-    elif dispatch.ablate("dwconv"):
-        qkv = conv2d(p["qkv"], x)  # measurement-only (ops/dispatch.py)
-    elif dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
-        from .pallas_dwconv import dwconv3x3_pallas
-        qkv = dwconv3x3_pallas(conv2d(p["qkv"], x),
-                               p["qkv_dw"]["w"][:, :, 0, :],
-                               dispatch.pallas_interpret())
-    elif dispatch.dwconv_shifts_on():
-        qkv = depthwise3x3_shifts(p["qkv_dw"], conv2d(p["qkv"], x))
-    else:
-        qkv = conv2d(p["qkv_dw"], conv2d(p["qkv"], x), groups=3 * c)
+    c = x.shape[-1]
+    qkv = mdta_qkv(p, x)
     if dispatch.ablate("attn_all"):
         # measurement-only: skip the head transposes AND the attention core
         # (isolates transpose cost = attn_all share minus attn_core share)

@@ -63,15 +63,15 @@ def pallas_block_on() -> bool:
     """Whole-block fused kernels (ops/pallas_block.py): [LN1+qkv+dw] head and
     [proj+residual+LN2+GDFN+residual] tail — supersede the pallas_fused sites
     when active, folding every per-block elementwise/HBM pass into the two
-    kernels. Measured 0.1148 -> 0.1078 s/iter standalone — but the tail
-    BACKWARD in the same program as the gram kernels deterministically
-    crashes the remote compiler (probe_r2 21:53; band-budget-INDEPENDENT:
-    still crashes at 1 MB and 0.5 MB tail budgets, probe_r2 22:42-22:47),
-    so the default resolves against pallas_gram_on(): gram wins
-    (0.1031 combined with the head kernel < 0.1078). Values:
-    RCOT_PALLAS_BLOCK=0 off | head (head kernel only, composes with gram) |
-    1/full (both kernels; forced even with gram — crashes today's
-    toolchain)."""
+    kernels. Measured 0.1148 -> 0.1078 s/iter standalone — but ALL THREE
+    kernels' backwards in one program (gram + head + tail) crash the remote
+    compiler (probe_r2 21:53; band-budget-INDEPENDENT). Dropping the HEAD
+    kernel breaks the wall: gram + TAIL-only compiles reliably and is the
+    fastest measured composition (0.0992-0.1009 s/iter vs 0.1031 gram+head,
+    probe_r2 10:30/10:35) — the default when the gram tier is on. Values:
+    RCOT_PALLAS_BLOCK=0 off | head (head kernel, composed tail) | tail
+    (fused-qkv + tail kernel, the default with gram) | 1/full (both
+    kernels; with gram this crashes today's toolchain)."""
     return block_mode() != "off"
 
 
@@ -79,15 +79,19 @@ def block_mode() -> str:
     env = os.environ.get("RCOT_PALLAS_BLOCK")
     if env in ("", "0", "false"):
         return "off"
-    if env == "head":
-        return "head"
+    if env in ("head", "tail"):
+        # "tail": tail kernel only, fused-tier qkv + composed head — the
+        # fastest gram-co-compilable composition (fewer kernels per
+        # program than "full", which crashes with gram)
+        return env
     if env in ("1", "full"):
-        # explicit force — including tail+gram in one program, which
+        # explicit force — including head+tail+gram in one program, which
         # crashes today's toolchain unless RCOT_PALLAS_GRAM=0
         return "full"
-    # unset or unrecognized: resolve against the gram tier (their
-    # backwards cannot share a program on the current toolchain)
-    return "head" if pallas_gram_on() else "full"
+    # unset or unrecognized: resolve against the gram tier (gram + head +
+    # tail backwards cannot all share a program on the current toolchain;
+    # gram+tail can, and wins: 0.0992 vs 0.1031 s/iter)
+    return "tail" if pallas_gram_on() else "full"
 
 
 def pallas_gram_on() -> bool:
@@ -95,8 +99,9 @@ def pallas_gram_on() -> bool:
     + apply kernels on NHWC qkv — removes the (3,B,heads,ch,HW) relayouts
     (~13 ms/iter measured, probe_r2 attn_all vs attn_core ablations).
     Default ON on TPU: 0.1148 -> 0.1061 s/iter composed with the
-    pallas_fused tier (probe_r2 22:05). Its backward cannot share a program
-    with the block-TAIL backward on the current toolchain (see block_mode).
+    pallas_fused tier (probe_r2 22:05). Its backward co-compiles with the
+    block-TAIL backward (the default composition) but NOT with head+tail
+    together on the current toolchain (see block_mode).
     RCOT_PALLAS_GRAM=0 disables."""
     return os.environ.get("RCOT_PALLAS_GRAM", "1") not in ("", "0")
 

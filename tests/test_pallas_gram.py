@@ -78,13 +78,14 @@ def test_mdta_module_gram_flag(rng, monkeypatch):
 
 def test_block_mode_resolution(monkeypatch):
     """block_mode(): explicit values win; the default resolves against the
-    gram tier (their backwards cannot co-compile on the current toolchain —
+    gram tier (gram + head + tail backwards cannot all co-compile on the
+    current toolchain; gram + tail-only can, and wins —
     ops/dispatch.py block_mode docstring)."""
     from rcot_tpu.ops import dispatch
 
     monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
     monkeypatch.delenv("RCOT_PALLAS_GRAM", raising=False)
-    assert dispatch.block_mode() == "head"  # gram defaults ON
+    assert dispatch.block_mode() == "tail"  # gram defaults ON
     monkeypatch.setenv("RCOT_PALLAS_GRAM", "0")
     assert dispatch.block_mode() == "full"
     monkeypatch.setenv("RCOT_PALLAS_BLOCK", "0")
@@ -92,6 +93,8 @@ def test_block_mode_resolution(monkeypatch):
     assert not dispatch.pallas_block_on()
     monkeypatch.setenv("RCOT_PALLAS_BLOCK", "head")
     assert dispatch.block_mode() == "head"
+    monkeypatch.setenv("RCOT_PALLAS_BLOCK", "tail")
+    assert dispatch.block_mode() == "tail"
     monkeypatch.setenv("RCOT_PALLAS_BLOCK", "1")
     assert dispatch.block_mode() == "full"
     assert dispatch.pallas_block_on()
