@@ -43,6 +43,21 @@ A100_ASSUMED_UTIL = 0.10
 REF_ITER_FLOPS = 1.7589e12
 
 
+def _composition():
+    """Which kernel tiers the measured program used (auditability)."""
+    from rcot_tpu.ops import dispatch
+    if not dispatch.pallas_enabled():
+        return "xla-only"
+    parts = []
+    if dispatch.pallas_fused_on():
+        parts.append("fused")
+    if dispatch.pallas_gram_on():
+        parts.append("gram")
+    if dispatch.pallas_block_on():
+        parts.append(f"block-{dispatch.block_mode()}")
+    return "+".join(parts) or "xla-only"
+
+
 def _bench_cfg():
     import dataclasses
 
@@ -273,6 +288,7 @@ def main():
             if breakeven_util else None,
             "infer_256px_img_per_sec": infer_img_per_sec,
             "infer_256px_batch4_img_per_sec": infer_b4_img_per_sec,
+            "kernel_composition": _composition(),
             "device": str(jax.devices()[0]),
         },
     }))
