@@ -98,19 +98,38 @@ def warm_only():
 
 
 def _warm_cache_subprocess():
-    """Best-effort bounded cache warm; never fails the bench."""
+    """Best-effort bounded cache warm; never fails the bench.
+
+    Output goes to a FILE and the child gets its own session: with piped
+    capture, a wedged compile-helper grandchild inheriting the pipe would
+    keep communicate() blocked even after the timeout kill — the exact
+    hang this subprocess exists to bound. On timeout the whole process
+    GROUP is killed so no helper survives holding the TPU."""
+    import signal
     import subprocess
+    import tempfile
     for attempt in range(2):
-        try:
-            r = subprocess.run(
+        with tempfile.TemporaryFile() as logf:
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--warm-only"],
-                timeout=1500, capture_output=True, text=True)
-            if r.returncode == 0:
+                stdout=logf, stderr=subprocess.STDOUT,
+                start_new_session=True)
+            try:
+                rc = proc.wait(timeout=1500)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                proc.wait()
+                print(f"warm attempt {attempt + 1} timed out (wedged "
+                      "tunnel?)", file=sys.stderr)
+                continue
+            if rc == 0:
                 return True
-            print(f"warm attempt {attempt + 1} rc={r.returncode}: "
-                  f"{r.stderr[-300:]}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"warm attempt {attempt + 1} timed out (wedged tunnel?)",
+            logf.seek(0)
+            tail = logf.read()[-300:].decode(errors="replace")
+            print(f"warm attempt {attempt + 1} rc={rc}: {tail}",
                   file=sys.stderr)
     return False
 
