@@ -10,7 +10,9 @@ one GPU via CUDA_VISIBLE_DEVICES). This module is the green-field TPU design:
   never hand-write a psum;
 - optional 'spatial' axis for full-resolution inference: activations shard
   over image rows and XLA inserts halo exchanges for the 3x3 convs
-  (the context-parallelism analog for this workload, SURVEY.md §5).
+  (the context-parallelism analog for this workload, SURVEY.md §5);
+- optional 'tensor' axis: Megatron-style channel sharding of the transformer
+  blocks (tensor_shardings below) for models that outgrow one chip's HBM.
 
 Multi-host entry: call jax.distributed.initialize() before building the mesh
 (initialize_distributed below is a guarded wrapper).
@@ -55,16 +57,19 @@ def initialize_distributed(coordinator: Optional[str] = None,
         jax.block_until_ready(out)
 
 
-def make_mesh(data: Optional[int] = None, spatial: int = 1,
+def make_mesh(data: Optional[int] = None, spatial: int = 1, tensor: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'spatial') mesh. Defaults: all devices on 'data'."""
+    """Build a ('data', 'spatial', 'tensor') mesh. Defaults: all devices on
+    'data'. 'spatial' shards image rows (inference), 'tensor' shards channel
+    dimensions of the transformer-block weights (tensor_shardings below)."""
     devs = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devs) // spatial
-    if data * spatial != len(devs):
-        raise ValueError(f"mesh {data}x{spatial} != {len(devs)} devices")
-    arr = np.asarray(devs).reshape(data, spatial)
-    return Mesh(arr, ("data", "spatial"))
+        data = len(devs) // (spatial * tensor)
+    if data * spatial * tensor != len(devs):
+        raise ValueError(
+            f"mesh {data}x{spatial}x{tensor} != {len(devs)} devices")
+    arr = np.asarray(devs).reshape(data, spatial, tensor)
+    return Mesh(arr, ("data", "spatial", "tensor"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -87,8 +92,60 @@ def _is_multi_process(mesh: Mesh) -> bool:
                for d in mesh.devices.flat)
 
 
+# -------------------------------------------------- tensor (channel) sharding
+
+# Megatron-style pairing inside each transformer block (SURVEY.md §5 names
+# channel-sharded MDTA the stretch parallelism dimension): the qkv / GDFN-in
+# 1x1 convs shard their OUTPUT channels ("column"), the depthwise 3x3 convs
+# shard their (last-dim) channels to match, and the closing projections shard
+# their INPUT channels ("row") so each device contributes a partial sum that
+# XLA reduces over 'tensor'. Everything else — embeddings, up/down samplers,
+# LayerNorms (which need the full channel axis), the critic — replicates.
+# The map is (parent dict key) -> sharded dim of the "w" leaf.
+_COL = {"qkv": 3, "qkv_dw": 3, "proj_in": 3, "dw": 3}
+_ROW = {"proj": 2, "proj_out": 2}
+
+
+def _tensor_spec(path, leaf, n: int) -> P:
+    names = [getattr(k, "key", None) for k in path]
+    if not names or names[-1] not in ("w", "b"):
+        return P()
+    parent = names[-2] if len(names) >= 2 else None
+    dim = None
+    if parent in _COL:
+        # bias follows the sharded output channels; weight shards its last dim
+        dim = _COL[parent] if names[-1] == "w" else 0
+    elif parent in _ROW and names[-1] == "w":
+        dim = _ROW[parent]  # row-parallel: partial sums reduced over 'tensor'
+    if dim is None or leaf.ndim <= dim or leaf.shape[dim] % n != 0:
+        return P()  # non-divisible (e.g. GDFN hidden 127) -> replicate
+    spec = [None] * leaf.ndim
+    spec[dim] = "tensor"
+    return P(*spec)
+
+
+def tensor_shardings(mesh: Mesh, tree):
+    """NamedSharding tree for params / optimizer moments: transformer-block
+    channel dims shard over 'tensor', everything else replicates. Works on any
+    pytree whose conv dicts use the model's key names (the optimizer moment
+    trees mirror the param tree, so the same rule shards them identically)."""
+    n = mesh.shape.get("tensor", 1)
+    if n <= 1:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _tensor_spec(path, leaf, n)),
+        tree)
+
+
+def shard_state(mesh: Mesh, tree):
+    """Place a train state (or param tree) on the mesh: replicated on a pure
+    data/spatial mesh, channel-sharded over 'tensor' when that axis is >1."""
+    return put_global(tree, tensor_shardings(mesh, tree))
+
+
 def put_global(tree, sharding) -> object:
-    """Host pytree -> global jax.Arrays under `sharding`.
+    """Host pytree -> global jax.Arrays under `sharding` (one NamedSharding
+    for every leaf, or a matching pytree of per-leaf shardings).
 
     Single-process: a plain device_put. Multi-process (multi-controller JAX):
     every process passes its PROCESS-LOCAL data and the global array is
@@ -97,13 +154,18 @@ def put_global(tree, sharding) -> object:
     spec each passes its per-host slice (so the global batch is
     per_host_batch * process_count).
     """
+    if isinstance(sharding, NamedSharding):
+        shardings = jax.tree_util.tree_map(lambda _: sharding, tree)
+    else:
+        shardings = sharding
+    probe = jax.tree_util.tree_leaves(shardings)[0]
     multi = any(d.process_index != jax.process_index()
-                for d in sharding.device_set)
+                for d in probe.device_set)
     if multi:
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), tree)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree, shardings)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -45,6 +45,59 @@ class Preempted(Exception):
     lifecycle event on TPU pods, not an error."""
 
 
+def _trace_key(cfg: Config) -> tuple:
+    """Everything the jitted step programs' TRACE depends on: model/critic
+    architecture, the train hyperparameters baked into the programs, and the
+    RCOT_* kernel-dispatch environment. Deliberately excludes paths, logging
+    cadence, and loader settings — those never enter the trace (shapes key
+    jax.jit's own per-shape cache)."""
+    t = cfg.train
+    env = tuple(sorted((k, v) for k, v in os.environ.items()
+                       if k.startswith("RCOT_")))
+    return (cfg.model, cfg.critic, t.seed, t.dtype, t.optimizer, t.lr,
+            t.gp_weight, t.sigma, t.Sigma, t.loss_math, env)
+
+
+# (trace_key -> (jitted fused step, jitted preproc)). Rebuilding a Trainer
+# with an equivalent config (tests do this constantly; production does it on
+# re-init after preemption) reuses the jitted callables — and with them
+# jax.jit's in-process executable cache, skipping re-trace + re-compile.
+_STEP_CACHE: dict = {}
+
+
+def _jitted_steps(cfg: Config):
+    key = _trace_key(cfg)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    iteration = make_train_iteration(cfg)
+    out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+
+    # Preproc (key derivation + augment/degrade) runs INSIDE the same
+    # jitted program as the minimax iteration: one device dispatch per
+    # step. Separate jits would pay an extra host->device round-trip per
+    # step (material on a remote-attached TPU) and a fold_in/split pair
+    # as standalone eager ops would be worse still.
+    def _fused_step(state, step, clean, deg, de_id, paired, lr):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+        k_pre, k_gp = jax.random.split(key)
+        degraded, target = augment_and_degrade(
+            k_pre, clean, deg, de_id, out_dtype=out_dtype)
+        batch = Batch(degraded=degraded, target=target, de_id=de_id)
+        return iteration(state, batch, k_gp, paired, lr)
+
+    # standalone preproc, used ONLY for the epoch-granularity sample dump
+    # (the training loop never materializes the augmented batch on host)
+    def _preproc(step, clean, deg, de_id):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+        k_pre, _ = jax.random.split(key)
+        return augment_and_degrade(k_pre, clean, deg, de_id,
+                                   out_dtype=out_dtype)
+
+    steps = (jax.jit(_fused_step, donate_argnums=(0,)), jax.jit(_preproc))
+    _STEP_CACHE[key] = steps
+    return steps
+
+
 class Trainer:
     def __init__(self, cfg: Config, *, mesh=None, log_path: Optional[str] = None):
         from ..utils.compilation_cache import enable_compilation_cache
@@ -57,33 +110,7 @@ class Trainer:
         self.log = MetricsLogger(log_path)
         self.loader = TrainLoader(cfg, seed=cfg.train.seed)
         self._restorer = None  # built once, reused across epochs
-        iteration = make_train_iteration(cfg)
-        out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
-
-        # Preproc (key derivation + augment/degrade) runs INSIDE the same
-        # jitted program as the minimax iteration: one device dispatch per
-        # step. Separate jits would pay an extra host->device round-trip per
-        # step (material on a remote-attached TPU) and a fold_in/split pair
-        # as standalone eager ops would be worse still.
-        def _fused_step(state, step, clean, deg, de_id, paired, lr):
-            key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
-            k_pre, k_gp = jax.random.split(key)
-            degraded, target = augment_and_degrade(
-                k_pre, clean, deg, de_id, out_dtype=out_dtype)
-            batch = Batch(degraded=degraded, target=target, de_id=de_id)
-            return iteration(state, batch, k_gp, paired, lr)
-
-        self._step = jax.jit(_fused_step, donate_argnums=(0,))
-
-        # standalone preproc, used ONLY for the epoch-granularity sample dump
-        # (the training loop never materializes the augmented batch on host)
-        def _preproc(step, clean, deg, de_id):
-            key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
-            k_pre, _ = jax.random.split(key)
-            return augment_and_degrade(k_pre, clean, deg, de_id,
-                                       out_dtype=out_dtype)
-
-        self._preproc = jax.jit(_preproc)
+        self._step, self._preproc = _jitted_steps(cfg)
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
@@ -102,8 +129,8 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
         self.host_step = 0
         if self.mesh is not None:
-            from ..parallel.sharding import replicate
-            self.state = replicate(self.mesh, self.state)
+            from ..parallel.sharding import shard_state
+            self.state = shard_state(self.mesh, self.state)
         return self.state
 
     def resume(self, path: str) -> None:
@@ -120,8 +147,8 @@ class Trainer:
                          ckpt_hash=meta.get("config_hash"),
                          run_hash=self.cfg.hash())
         if self.mesh is not None:
-            from ..parallel.sharding import replicate
-            self.state = replicate(self.mesh, self.state)
+            from ..parallel.sharding import shard_state
+            self.state = shard_state(self.mesh, self.state)
         self.log.log("resumed", path=path, epoch=self.start_epoch,
                      epoch_step=self.start_step)
 

@@ -19,6 +19,14 @@ import jax
 # jax_platforms programmatically, stomping the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the compile-heavy integration tests
+# (trainer loop, full tiny-model forwards) dominate suite runtime; caching
+# their executables on disk makes every run after the first much faster
+# (measured 35 s -> 5 s for the tiny train-iteration program on this box).
+from rcot_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 
