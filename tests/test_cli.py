@@ -211,6 +211,7 @@ class TestTesterCLI:
         assert "PSNR: average" in capsys.readouterr().out
         assert os.listdir(tmp_path / "sr") == ["im0.png"]
 
+    @pytest.mark.slow
     def test_rcot_test_mprnet_sr_scale(self, tmp_path, capsys):
         """Legacy SR mode end-to-end: LR degraded folder + x2 HR targets,
         --sr-scale 2 -> HR outputs, finite metrics, res dump upsampled."""

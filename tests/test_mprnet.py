@@ -20,6 +20,7 @@ class TestParamPins:
         p = init_mprnet_tnet(jax.random.PRNGKey(0))
         assert count_params(p) == 6_842_689
 
+    @pytest.mark.slow
     def test_legacy_fnet_pin(self):
         """80,920,257: the Net.py critic is the same conv stack with a fixed
         32768->2048 head (Net.py:275)."""

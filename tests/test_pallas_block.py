@@ -105,12 +105,16 @@ def test_tail_matches_reference(rng, ln_bias, band_budget):
         np.testing.assert_allclose(a, b_, rtol=3e-4, atol=3e-4)
 
 
-@pytest.mark.parametrize("mode", ["1", "head", "tail"])
+@pytest.mark.parametrize("mode", [
+    pytest.param("1", marks=pytest.mark.slow),
+    pytest.param("head", marks=pytest.mark.slow),
+    "tail",  # the shipped TPU default composition stays in the fast lane
+])
 def test_transformer_block_fused_path(rng, monkeypatch, mode):
     """Whole transformer_block: every fused-block mode == the jnp path.
     mode "1" = head+tail kernels (gram off); mode "head" = head kernel +
-    gram attention core + composed tail (the TPU default composition);
-    mode "tail" = composed head + fused qkv + tail kernel."""
+    gram attention core + composed tail; mode "tail" = composed head +
+    fused qkv + tail kernel (the shipped TPU default, ops/dispatch.py)."""
     from rcot_tpu.models.restormer import init_transformer_block, transformer_block
     dim, heads = 8, 2
     p = init_transformer_block(jax.random.PRNGKey(0), dim, heads, 2.66,

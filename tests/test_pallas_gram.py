@@ -25,7 +25,12 @@ def _twin(temp, qkv, num_heads):
     return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
 
 
-@pytest.mark.parametrize("heads,c", [(1, 8), (2, 16), (4, 96), (4, 8)])
+@pytest.mark.parametrize("heads,c", [
+    (1, 8),  # fast-lane representative; the rest run in the slow lane
+    pytest.param(2, 16, marks=pytest.mark.slow),   # b=2 accumulator grid
+    pytest.param(4, 96, marks=pytest.mark.slow),   # model-scale head dim
+    pytest.param(4, 8, marks=pytest.mark.slow),
+])
 def test_gram_core_matches_twin(rng, heads, c):
     # batch 1 keeps interpret-mode grad time down, but ONE case runs b=2 so
     # the per-batch accumulator grid indexing stays covered

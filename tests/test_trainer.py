@@ -79,6 +79,7 @@ class TestTrainerLoop:
         tr2.fit()
         assert tr2.host_step == 4  # completed the epoch, no rework of 0-1
 
+    @pytest.mark.slow
     def test_preemption_checkpoints_and_resumes(self, data_tree, tmp_path):
         """SIGTERM-style preemption (TPU pods): the flag set by the signal
         handler makes the loop flush a resumable mid-epoch checkpoint at the
@@ -120,6 +121,7 @@ class TestTrainerLoop:
         tr2.fit()
         assert tr2.host_step == 4  # finished the epoch from the preempt point
 
+    @pytest.mark.slow
     def test_fit_with_data_parallel_mesh(self, data_tree, tmp_path):
         """Trainer end-to-end over a 4-device 'data' mesh: replicated state,
         sharded batches, gradient all-reduce inserted by XLA."""
@@ -155,6 +157,7 @@ class TestTrainerLoop:
         leaf = jax.tree_util.tree_leaves(tr2.state.t_params)[0]
         assert len(leaf.devices()) == 2
 
+    @pytest.mark.slow
     def test_sample_dump(self, data_tree, tmp_path):
         cfg = make_cfg(data_tree, tmp_path, sample_every=1,
                        sample_dir=str(tmp_path / "samples"))
