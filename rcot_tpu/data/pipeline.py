@@ -154,7 +154,8 @@ def device_prefetch(host_iter, size: int = 2, sharding=None):
     def put(b):
         if sharding is not None:
             from ..parallel.sharding import put_global
-            return put_global((b.degraded, b.clean, b.de_id), sharding)
+            return put_global((b.degraded, b.clean, b.de_id), sharding,
+                              local_slices=True)
         return jax.tree_util.tree_map(jax.device_put, (b.degraded, b.clean, b.de_id))
 
     it = iter(host_iter)

@@ -50,7 +50,7 @@ def initialize_distributed(coordinator: Optional[str] = None,
         # put_global takes the PROCESS-LOCAL slice: one element per local
         # device (the global array has one element per global device)
         ones = put_global(np.ones((jax.local_device_count(),), np.float32),
-                          sharded)
+                          sharded, local_slices=True)
         # jnp.sum of a device-sharded array -> XLA all-reduce across processes
         out = jax.jit(jnp.sum, in_shardings=sharded,
                       out_shardings=NamedSharding(mesh, P()))(ones)
@@ -94,7 +94,7 @@ def _is_multi_process(mesh: Mesh) -> bool:
 
 # -------------------------------------------------- tensor (channel) sharding
 
-# Megatron-style pairing inside each transformer block (SURVEY.md §5 names
+# Channel sharding inside each transformer block (SURVEY.md §5 names
 # channel-sharded MDTA the stretch parallelism dimension): the qkv / GDFN-in
 # 1x1 convs shard their OUTPUT channels ("column"), the depthwise 3x3 convs
 # shard their (last-dim) channels to match, and the closing projections shard
@@ -102,6 +102,19 @@ def _is_multi_process(mesh: Mesh) -> bool:
 # XLA reduces over 'tensor'. Everything else — embeddings, up/down samplers,
 # LayerNorms (which need the full channel axis), the critic — replicates.
 # The map is (parent dict key) -> sharded dim of the "w" leaf.
+#
+# Scope note (honesty about what this buys): weights and optimizer moments
+# genuinely shard — the memory-capacity win, the motivation stated in the
+# module docstring, is real. But because qkv packs [q|k|v] along one output
+# dim and GDFN's proj_in packs [x1|x2], a contiguous GSPMD shard of those
+# dims crosses the logical q/k/v (head-split) and gelu(x1)*x2 boundaries, so
+# XLA re-shards activations there rather than keeping the classic Megatron
+# column->row device-local chain. Numerics are exact (tested ==replicated);
+# per-block collectives are heavier than true Megatron TP would pay. Keeping
+# the packed layouts (which the Pallas fused kernels and the reference
+# checkpoint port both rely on) was chosen over head-aligned per-segment
+# params; revisit only if TP ever becomes a measured bottleneck on real
+# multi-chip hardware.
 _COL = {"qkv": 3, "qkv_dw": 3, "proj_in": 3, "dw": 3}
 _ROW = {"proj": 2, "proj_out": 2}
 
@@ -143,16 +156,25 @@ def shard_state(mesh: Mesh, tree):
     return put_global(tree, tensor_shardings(mesh, tree))
 
 
-def put_global(tree, sharding) -> object:
+def put_global(tree, sharding, *, local_slices: bool = False) -> object:
     """Host pytree -> global jax.Arrays under `sharding` (one NamedSharding
     for every leaf, or a matching pytree of per-leaf shardings).
 
-    Single-process: a plain device_put. Multi-process (multi-controller JAX):
-    every process passes its PROCESS-LOCAL data and the global array is
-    assembled via jax.make_array_from_process_local_data — for a replicated
-    spec each process passes the identical full array; for a batch-sharded
-    spec each passes its per-host slice (so the global batch is
-    per_host_batch * process_count).
+    Single-process: a plain device_put. Multi-process (multi-controller JAX),
+    two distinct host-data semantics:
+
+    - default (`local_slices=False`): every process holds the FULL GLOBAL
+      array (params/opt state are initialized identically on every host);
+      each leaf is assembled via jax.make_array_from_callback, which hands
+      each process the global index of each of its addressable shards — so
+      any sharding is correct, including channel dims sharded over a
+      'tensor' axis that spans processes. (make_array_from_process_local_data
+      would be WRONG here: it scales the global shape up by the number of
+      processes along process-spanning sharded dims.)
+    - `local_slices=True`: every process holds only its PER-HOST SLICE
+      (data batches from the per-host-sharded loader); the global array is
+      assembled via jax.make_array_from_process_local_data, so the global
+      batch is per_host_batch * process_count.
     """
     if isinstance(sharding, NamedSharding):
         shardings = jax.tree_util.tree_map(lambda _: sharding, tree)
@@ -162,16 +184,24 @@ def put_global(tree, sharding) -> object:
     multi = any(d.process_index != jax.process_index()
                 for d in probe.device_set)
     if multi:
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.make_array_from_process_local_data(
-                s, np.asarray(x)), tree, shardings)
+        if local_slices:
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(x)), tree, shardings)
+
+        def _from_global(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, s,
+                                                lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(_from_global, tree, shardings)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
 
 def shard_batch(mesh: Mesh, batch):
     """Host batch pytree -> global arrays sharded over 'data'. Multi-process:
     each host contributes its local slice of the global batch."""
-    return put_global(batch, batch_sharding(mesh))
+    return put_global(batch, batch_sharding(mesh), local_slices=True)
 
 
 def replicate(mesh: Mesh, tree):

@@ -17,6 +17,7 @@ Replaces the reference's trainer.py main()/train()/evaluate() loop
 
 from __future__ import annotations
 
+import collections
 import os
 import time
 from typing import Optional
@@ -62,12 +63,22 @@ def _trace_key(cfg: Config) -> tuple:
 # with an equivalent config (tests do this constantly; production does it on
 # re-init after preemption) reuses the jitted callables — and with them
 # jax.jit's in-process executable cache, skipping re-trace + re-compile.
-_STEP_CACHE: dict = {}
+# Bounded LRU: each entry pins traced programs + compiled executables for the
+# process lifetime, and sweeps over seeds/hyperparams (or tests churning
+# RCOT_* env) would otherwise grow it monotonically.
+_STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_STEP_CACHE_MAX = 8
 
 
 def _jitted_steps(cfg: Config):
+    """Resolve the jitted (fused step, preproc) pair for cfg + current RCOT_*
+    env. Callers must invoke this at FIRST USE, not at Trainer construction:
+    jax.jit traces lazily at the first call, and the RCOT_* dispatch env is
+    read at trace time — keying on the env as it stands when the program is
+    about to trace keeps the cache key an accurate proxy for the trace."""
     key = _trace_key(cfg)
     if key in _STEP_CACHE:
+        _STEP_CACHE.move_to_end(key)
         return _STEP_CACHE[key]
     iteration = make_train_iteration(cfg)
     out_dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
@@ -95,6 +106,8 @@ def _jitted_steps(cfg: Config):
 
     steps = (jax.jit(_fused_step, donate_argnums=(0,)), jax.jit(_preproc))
     _STEP_CACHE[key] = steps
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
     return steps
 
 
@@ -110,7 +123,9 @@ class Trainer:
         self.log = MetricsLogger(log_path)
         self.loader = TrainLoader(cfg, seed=cfg.train.seed)
         self._restorer = None  # built once, reused across epochs
-        self._step, self._preproc = _jitted_steps(cfg)
+        # resolved lazily at first use so the RCOT_* env is read when the
+        # program actually traces, not at construction (see _jitted_steps)
+        self._steps = None
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
@@ -121,6 +136,16 @@ class Trainer:
         # set asynchronously by the SIGTERM/SIGINT handler fit() installs;
         # the loop checkpoints and stops at the next step boundary
         self._preempted = False
+
+    def _step(self, *args):
+        if self._steps is None:
+            self._steps = _jitted_steps(self.cfg)
+        return self._steps[0](*args)
+
+    def _preproc(self, *args):
+        if self._steps is None:
+            self._steps = _jitted_steps(self.cfg)
+        return self._steps[1](*args)
 
     # ------------------------------------------------------------ state
 

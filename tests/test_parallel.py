@@ -90,17 +90,22 @@ class TestTensorParallel:
         mesh = make_mesh(data=4, tensor=2)
         p = init_tnet(jax.random.PRNGKey(0), tiny_model_cfg)
         sh = tensor_shardings(mesh, p)
-        blk, sblk = p["latent"][0], sh["latent"][0]
+        # level-1 block: dim=8, GDFN hidden int(2.66*8)=21 — the smallest
+        # dims, so it exercises both the sharded and non-divisible branches
+        blk, sblk = p["encoder_level1"][0], sh["encoder_level1"][0]
         # column-parallel: qkv weight shards its OUTPUT channels (+ its bias,
         # when present); row-parallel: proj weight shards its INPUT channels
         assert sblk["attn"]["qkv"]["w"].spec == P(None, None, None, "tensor")
         assert sblk["attn"]["proj"]["w"].spec == P(None, None, "tensor", None)
         # LayerNorm needs the full channel axis -> replicated
         assert sblk["norm1"]["w"].spec == P()
-        # GDFN hidden = int(2.66*dim) is odd at dim=8 (21) -> non-divisible,
-        # the whole pair falls back to replicated rather than erroring
-        if blk["ffn"]["proj_in"]["w"].shape[3] % 2 != 0:
-            assert sblk["ffn"]["proj_in"]["w"].spec == P()
+        # GDFN hidden = int(2.66*dim) = 21 at dim=8: proj_in's OUTPUT dim is
+        # 2*hid = 42 (even -> shards), but proj_out's INPUT dim is hid = 21
+        # (odd) -> the non-divisible fallback replicates instead of erroring
+        assert blk["ffn"]["proj_in"]["w"].shape[3] == 42
+        assert sblk["ffn"]["proj_in"]["w"].spec == P(None, None, None,
+                                                     "tensor")
+        assert sblk["ffn"]["proj_out"]["w"].spec == P()
         # embeddings replicate
         assert sh["patch_embed"]["w"].spec == P()
 
