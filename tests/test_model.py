@@ -108,8 +108,11 @@ class TestCritic:
         assert y32.shape == y64.shape == (1,)
 
     def test_fc_sizing_formula(self):
-        """num_fea = patch^2/2 = 512*(patch/32)^2 (Net_Restormer.py:493-496)."""
+        """num_fea = patch^2/2 = 512*(patch/32)^2 (Net_Restormer.py:493-496).
+        eval_shape: only the shapes matter, so skip materializing the 30M+
+        params per patch size (was ~25 s of the fast lane)."""
         for patch in (64, 128):
             cfg = CriticConfig(patch_size=patch)
-            p = init_fnet(jax.random.PRNGKey(0), cfg)
+            p = jax.eval_shape(
+                lambda k, cfg=cfg: init_fnet(k, cfg), jax.random.PRNGKey(0))
             assert p["fc"]["w"].shape[0] == patch * patch // 2
