@@ -187,3 +187,51 @@ class TestValUtils:
         t.hold()
         assert t.release() >= 0.0
         assert t.acc == 0.0
+
+
+class TestImageIO:
+    """utils/image_io.py — the main-path subset of the reference's
+    util/image_io.py (converters :39-80, grid save, SOTS border crop :20-37)."""
+
+    def test_pil_np_roundtrip(self):
+        from PIL import Image
+        from rcot_tpu.utils.image_io import np_to_pil, pil_to_np
+        rng = np.random.default_rng(0)
+        arr = rng.uniform(size=(17, 23, 3)).astype(np.float32)
+        back = pil_to_np(np_to_pil(arr))
+        assert back.shape == (17, 23, 3)
+        assert back.dtype == np.float32
+        # quantized to 1/255 with round-half-up: error bounded by half a level
+        assert np.abs(back - arr).max() <= (0.5 / 255.0) + 1e-6
+        gray = np_to_pil(arr[..., :1])  # single-channel squeeze path
+        assert isinstance(gray, Image.Image) and gray.mode == "L"
+
+    def test_save_image_grid_geometry(self, tmp_path):
+        from PIL import Image
+        from rcot_tpu.utils.image_io import save_image
+        imgs = np.full((5, 8, 6, 3), 0.5, np.float32)
+        path = str(tmp_path / "grid.png")
+        save_image(path, imgs, nrow=4, padding=2)
+        with Image.open(path) as im:
+            w, h = im.size
+        # 5 images at nrow=4 -> 2 rows x 4 cols, padding 2 on every seam+border
+        assert (w, h) == (4 * (6 + 2) + 2, 2 * (8 + 2) + 2)
+
+    def test_save_image_accepts_single_image(self, tmp_path):
+        from rcot_tpu.utils.image_io import save_image
+        path = str(tmp_path / "one.png")
+        save_image(path, np.zeros((8, 8, 3), np.float32))
+        assert os.path.exists(path)
+
+    def test_prepare_gt_img_sots_crop(self):
+        from rcot_tpu.utils.image_io import prepare_gt_img
+        img = np.zeros((64, 48, 3), np.float32)
+        out = prepare_gt_img(img, d=10)
+        assert out.shape == (44, 28, 3)
+
+    def test_save_sample_grid_names(self, tmp_path):
+        from rcot_tpu.utils.image_io import save_sample_grid
+        save_sample_grid(str(tmp_path), "ep3",
+                         output=np.zeros((8, 8, 3), np.float32),
+                         target=np.ones((8, 8, 3), np.float32))
+        assert sorted(os.listdir(tmp_path)) == ["ep3_output.png", "ep3_target.png"]
