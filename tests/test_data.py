@@ -182,3 +182,13 @@ class TestLoader:
         b0 = next(iter(l0.epoch(1)))
         b1 = next(iter(l1.epoch(1)))
         assert not np.array_equal(b0.degraded, b1.degraded)
+
+
+class TestNoiseCombine:
+    def test_collapse_de_id_mapping(self):
+        """noise_combine label collapse (reference util/dataset_utils.py:267-277):
+        all denoise ids -> 0, paired ids shift down by 2."""
+        from rcot_tpu.data.datasets import collapse_de_id
+        assert [int(collapse_de_id(i)) for i in range(7)] == [0, 0, 0, 1, 2, 3, 4]
+        arr = collapse_de_id(np.array([0, 1, 2, 3, 4, 5, 6]))
+        assert arr.tolist() == [0, 0, 0, 1, 2, 3, 4]
