@@ -88,7 +88,7 @@ def dwconv3x3_fwd(x: jax.Array, w: jax.Array, *, interpret: bool = False):
         _kernel,
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full (3,3,C) weights
         ],
         out_specs=pl.BlockSpec((1, th, w_dim, c_pad), lambda i, r: (i, r, 0, 0),

@@ -384,7 +384,12 @@ def fused_dwconv_bwd(x: jax.Array, w_in: Optional[jax.Array],
     has_out = w_out is not None
     mh = m // 2 if gate else m
     co = w_out.shape[1] if has_out else mh
-    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=4 * 1024 * 1024)
+    # fp32 activations need a smaller band: at the 4 MB model-estimate budget
+    # the real scoped-VMEM stack lands just over the 16 MB hardware limit
+    # (observed: 16.72M on the [3,128,128,48]->192 qkv bwd; the bf16 twin of
+    # the same band fits). Halving the budget drops one tile size and fits.
+    bwd_budget = (4 if x.dtype.itemsize <= 2 else 2) * 1024 * 1024
+    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=bwd_budget)
 
     in_specs = _row_specs(th, w_dim, c, h, halo=2)
     operands = [x] * 5

@@ -123,6 +123,7 @@ class Trainer:
         self.log = MetricsLogger(log_path)
         self.loader = TrainLoader(cfg, seed=cfg.train.seed)
         self._restorer = None  # built once, reused across epochs
+        self._sample_fwd = None  # jitted sample-dump forward, built once
         # resolved lazily at first use so the RCOT_* env is read when the
         # program actually traces, not at construction (see _jitted_steps)
         self._steps = None
@@ -291,8 +292,11 @@ class Trainer:
             clean_l, deg_l, de_id_l = batch
             degraded, target = self._preproc(
                 np.int32(self.host_step - 1), clean_l, deg_l, de_id_l)
-            out, _, res = jax.jit(make_model_apply(cfg, full=True))(
-                self.state.t_params, degraded)
+            if self._sample_fwd is None:
+                # one jit for the Trainer's lifetime — a fresh wrapper per
+                # epoch would retrace (jit caches on function identity)
+                self._sample_fwd = jax.jit(make_model_apply(cfg, full=True))
+            out, _, res = self._sample_fwd(self.state.t_params, degraded)
             save_sample_grid(
                 os.path.join(t.sample_dir, t.run_name), f"epoch{epoch}",
                 output=np.asarray(out, np.float32),

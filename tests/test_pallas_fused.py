@@ -170,3 +170,40 @@ class TestBackward:
         for a, r in zip(g_ours, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestBwdBandBudget:
+    def test_fp32_backward_picks_smaller_band_than_bf16(self):
+        """fp32 activations halve the backward band budget: at the 4 MB
+        model-estimate the real scoped-VMEM stack of the [3,128,128,48]->192
+        qkv backward lands at 16.72M, over the TPU's 16 MB limit (bf16 fits).
+        Pin that fp32 selects a strictly smaller row tile at that shape."""
+        from rcot_tpu.ops.pallas_fused import _pick_th
+        th_bf16 = _pick_th(128, 128, 192, 2, budget=4 * 1024 * 1024)
+        # mirror fused_dwconv_bwd's dtype-aware budget
+        th_fp32 = _pick_th(128, 128, 192, 4, budget=2 * 1024 * 1024)
+        assert th_bf16 == 16
+        assert th_fp32 < th_bf16
+
+    def test_fp32_backward_grads_still_match(self):
+        """The smaller fp32 band is a tiling choice only — gradients at a
+        128-row fp32 shape (the crashing config's geometry, scaled down in
+        W/C for interpret-mode speed) still match the jnp reference."""
+        rng = np.random.default_rng(11)
+        x = _rand(rng, 1, 128, 8, 6)
+        w_in = _rand(rng, 6, 16)
+        dwk = _rand(rng, 3, 3, 16)
+
+        def ref(x, w_in, dwk):
+            h = jnp.einsum("bhwc,cm->bhwm", x, w_in)
+            return jnp.sum(_ref_dw(h, dwk) ** 2)
+
+        def fused(x, w_in, dwk):
+            return jnp.sum(
+                fused_dwconv(x, w_in, dwk, None, False, True) ** 2)
+
+        g_ref = jax.grad(ref, argnums=(0, 1, 2))(x, w_in, dwk)
+        g_fus = jax.grad(fused, argnums=(0, 1, 2))(x, w_in, dwk)
+        for a, b in zip(g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
