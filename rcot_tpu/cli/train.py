@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fail-at-step", dest="fail_at_step", type=int,
                    help="fault injection: raise at this global step")
     p.add_argument("--ckpt-dir", dest="ckpt_dir")
+    p.add_argument("--ckpt-every-steps", dest="ckpt_every_steps", type=int,
+                   help="also checkpoint mid-epoch every N steps (bounds the "
+                        "work lost to preemption or a wedged accelerator)")
     p.add_argument("--log-file", default=None)
     p.add_argument("--mesh-data", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")

@@ -152,14 +152,17 @@ def _fwd_kernel(x_up, x_mid, x_dn, w_in, dwk, w_out, out_ref,
 
 
 def _pick_th(h: int, w: int, wide: int, itemsize: int,
-             budget: int = 6 * 1024 * 1024) -> int:
+             budget: int = 6 * 1024 * 1024, *, scale: float = 1.0) -> int:
     """Largest row tile dividing h whose band intermediates fit the budget
     (wide = the fattest channel count alive in the kernel, fp32 conv band
-    dominates). RCOT_FUSED_VMEM_MB overrides the budget (perf tuning)."""
+    dominates). RCOT_FUSED_VMEM_MB overrides the BASE budget (perf tuning);
+    `scale` applies after the override so dtype-aware caller corrections
+    (fused_dwconv_bwd's fp32 shrink) hold even when the knob is set."""
     import os
     env = os.environ.get("RCOT_FUSED_VMEM_MB")
     if env:
         budget = int(float(env) * 1024 * 1024)
+    budget = int(budget * scale)
     for th in (64, 32, 16, 8, 4, 2, 1):
         if h % th:
             continue
@@ -244,6 +247,16 @@ def fused_dwconv_fwd(x: jax.Array, w_in: Optional[jax.Array],
 
 
 # ----------------------------------------------------------------- backward
+
+_BWD_BUDGET = 4 * 1024 * 1024
+
+
+def _bwd_th(h: int, w: int, m: int, itemsize: int) -> int:
+    """Row tile for the fused backward: the 4 MB model-estimate budget,
+    scaled to 5/8 for fp32 activations (see fused_dwconv_bwd). The single
+    production path for backward tile selection — tested directly."""
+    return _pick_th(h, w, m, itemsize, budget=_BWD_BUDGET,
+                    scale=1.0 if itemsize <= 2 else 0.625)
 
 def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
     i = 0
@@ -386,10 +399,13 @@ def fused_dwconv_bwd(x: jax.Array, w_in: Optional[jax.Array],
     co = w_out.shape[1] if has_out else mh
     # fp32 activations need a smaller band: at the 4 MB model-estimate budget
     # the real scoped-VMEM stack lands just over the 16 MB hardware limit
-    # (observed: 16.72M on the [3,128,128,48]->192 qkv bwd; the bf16 twin of
-    # the same band fits). Halving the budget drops one tile size and fits.
-    bwd_budget = (4 if x.dtype.itemsize <= 2 else 2) * 1024 * 1024
-    th = _pick_th(h, w_dim, m, x.dtype.itemsize, budget=bwd_budget)
+    # (observed: 16.72M on the [3,128,128,48]->192 qkv bwd, estimate 3.99M;
+    # the bf16 twin of the same band fits). Scaling the budget to 5/8 admits
+    # the next tile rung down (th=8 there, est 2.40M -> ~10M projected real
+    # at the observed 4.2x real/estimate ratio; on-chip check:
+    # tools/probe_fp32_band.py) instead of over-shrinking to th=4 and
+    # doubling grid steps.
+    th = _bwd_th(h, w_dim, m, x.dtype.itemsize)
 
     in_specs = _row_specs(th, w_dim, c, h, halo=2)
     operands = [x] * 5

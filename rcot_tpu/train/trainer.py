@@ -331,6 +331,14 @@ class Trainer:
     def fit(self, *, eval_degset: Optional[str] = None,
             eval_tarset: Optional[str] = None,
             profile_dir: Optional[str] = None) -> TrainState:
+        # Fail fast on a bad validation path: evaluate_folder runs AFTER each
+        # epoch but BEFORE its checkpoint, so a typo'd folder would otherwise
+        # surface only after a full epoch of training — and lose it.
+        for name, path in (("eval_degset", eval_degset),
+                           ("eval_tarset", eval_tarset)):
+            if path and not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"{name} is not a directory: {path!r}")
         if self.state is None:
             self.init_state()
         t = self.cfg.train

@@ -173,22 +173,34 @@ class TestBackward:
 
 
 class TestBwdBandBudget:
-    def test_fp32_backward_picks_smaller_band_than_bf16(self):
-        """fp32 activations halve the backward band budget: at the 4 MB
-        model-estimate the real scoped-VMEM stack of the [3,128,128,48]->192
-        qkv backward lands at 16.72M, over the TPU's 16 MB limit (bf16 fits).
-        Pin that fp32 selects a strictly smaller row tile at that shape."""
-        from rcot_tpu.ops.pallas_fused import _pick_th
-        th_bf16 = _pick_th(128, 128, 192, 2, budget=4 * 1024 * 1024)
-        # mirror fused_dwconv_bwd's dtype-aware budget
-        th_fp32 = _pick_th(128, 128, 192, 4, budget=2 * 1024 * 1024)
-        assert th_bf16 == 16
-        assert th_fp32 < th_bf16
+    def test_fp32_backward_picks_one_tile_rung_down(self):
+        """fp32 activations shrink the backward band: at the 4 MB
+        model-estimate budget the real scoped-VMEM stack of the
+        [3,128,128,48]->192 qkv backward lands at 16.72M, over the TPU's
+        16 MB limit (bf16 fits). The PRODUCTION selector (_bwd_th, the one
+        fused_dwconv_bwd calls) must pick exactly one rung down for fp32 at
+        that shape — th=8, not the over-shrunk th=4."""
+        from rcot_tpu.ops.pallas_fused import _bwd_th
+        assert _bwd_th(128, 128, 192, 2) == 16
+        assert _bwd_th(128, 128, 192, 4) == 8
 
-    def test_fp32_backward_grads_still_match(self):
-        """The smaller fp32 band is a tiling choice only — gradients at a
-        128-row fp32 shape (the crashing config's geometry, scaled down in
-        W/C for interpret-mode speed) still match the jnp reference."""
+    def test_env_override_keeps_fp32_scale(self, monkeypatch):
+        """RCOT_FUSED_VMEM_MB overrides the BASE budget only: the fp32
+        scale still applies on top, so setting the knob back to 4 MB cannot
+        reintroduce the fp32 VMEM overflow (th=16 at the crashing shape)."""
+        from rcot_tpu.ops.pallas_fused import _bwd_th
+        monkeypatch.setenv("RCOT_FUSED_VMEM_MB", "4")
+        assert _bwd_th(128, 128, 192, 4) == 8
+
+    def test_fp32_backward_grads_match_at_divergent_tile(self, monkeypatch):
+        """Gradients at a shape/budget where fp32 genuinely selects a
+        smaller row tile than bf16 would (th=4 vs 16 under a tiny base
+        budget) still match the jnp reference — the band is a tiling
+        choice only."""
+        from rcot_tpu.ops.pallas_fused import _bwd_th
+        monkeypatch.setenv("RCOT_FUSED_VMEM_MB", "0.02")
+        assert _bwd_th(128, 8, 16, 4) < _bwd_th(128, 8, 16, 2)
+
         rng = np.random.default_rng(11)
         x = _rand(rng, 1, 128, 8, 6)
         w_in = _rand(rng, 6, 16)

@@ -60,6 +60,18 @@ class TestTrainerLoop:
         events = [json.loads(l)["event"] for l in open(log)]
         assert "epoch_start" in events and "epoch_end" in events
 
+    def test_fit_rejects_missing_eval_folder(self, data_tree, tmp_path):
+        """A typo'd validation path must fail BEFORE training: the per-epoch
+        validation runs before the epoch's checkpoint, so discovering the bad
+        path at validation time loses the whole epoch (observed on a real
+        15-epoch TPU run resumed with a wrong --tarset)."""
+        cfg = make_cfg(data_tree, tmp_path)
+        tr = Trainer(cfg, log_path=None)
+        with pytest.raises(FileNotFoundError, match="eval_tarset"):
+            tr.fit(eval_degset=f"{data_tree}/Derain/rainy",
+                   eval_tarset=str(tmp_path / "no_such_dir"))
+        assert tr.host_step == 0  # nothing trained
+
     @pytest.mark.slow
     def test_recovery_cycle(self, data_tree, tmp_path):
         """Fail mid-epoch, resume from the mid-epoch checkpoint, finish:
