@@ -416,7 +416,7 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
         if env:
             budget = float(env)
     th = _pick_th(h, w_dim, m, x.dtype.itemsize,
-                  budget=int(budget * 1024 * 1024))
+                  budget=int(budget * 1024 * 1024), env_override=False)
 
     in_specs = _row_specs(th, w_dim, c, h, halo=2)
     operands = [x] * 5

@@ -152,14 +152,18 @@ def _fwd_kernel(x_up, x_mid, x_dn, w_in, dwk, w_out, out_ref,
 
 
 def _pick_th(h: int, w: int, wide: int, itemsize: int,
-             budget: int = 6 * 1024 * 1024, *, scale: float = 1.0) -> int:
+             budget: int = 6 * 1024 * 1024, *, scale: float = 1.0,
+             env_override: bool = True) -> int:
     """Largest row tile dividing h whose band intermediates fit the budget
     (wide = the fattest channel count alive in the kernel, fp32 conv band
     dominates). RCOT_FUSED_VMEM_MB overrides the BASE budget (perf tuning);
     `scale` applies after the override so dtype-aware caller corrections
-    (fused_dwconv_bwd's fp32 shrink) hold even when the knob is set."""
+    (fused_dwconv_bwd's fp32 shrink) hold even when the knob is set.
+    Callers with their own knob/per-shape budgets (pallas_block backwards,
+    whose larger tail bands CRASH the remote compiler) pass
+    env_override=False so the fused-tier knob cannot clobber them."""
     import os
-    env = os.environ.get("RCOT_FUSED_VMEM_MB")
+    env = os.environ.get("RCOT_FUSED_VMEM_MB") if env_override else None
     if env:
         budget = int(float(env) * 1024 * 1024)
     budget = int(budget * scale)

@@ -145,3 +145,20 @@ def test_transformer_block_fused_path(rng, monkeypatch, mode):
             np.testing.assert_allclose(a, b_, rtol=3e-4, atol=3e-4)
     finally:
         dispatch.pallas_enabled.cache_clear()
+
+
+class TestBwdBudgetIsolation:
+    def test_fused_knob_cannot_clobber_block_budgets(self, monkeypatch):
+        """The block backwards' per-shape band budgets are crash-bisected
+        (larger tail bands HTTP-500 the remote compiler); the fused-tier
+        RCOT_FUSED_VMEM_MB sweep knob must not override them. The block
+        call sites pass env_override=False — pin that _pick_th then
+        ignores the env entirely."""
+        from rcot_tpu.ops.pallas_fused import _pick_th
+        base = _pick_th(128, 128, 192, 2, budget=2 * 1024 * 1024,
+                        env_override=False)
+        monkeypatch.setenv("RCOT_FUSED_VMEM_MB", "64")
+        assert _pick_th(128, 128, 192, 2, budget=2 * 1024 * 1024,
+                        env_override=False) == base
+        # and the fused tier itself still honors the knob
+        assert _pick_th(128, 128, 192, 2, budget=2 * 1024 * 1024) > base
