@@ -82,6 +82,57 @@ class TestTrainCLI:
         cfg = overlay_config(get_preset("derain"), args)
         assert cfg.train.dtype == "bfloat16"
 
+    @pytest.mark.slow
+    def test_rcot_train_end_to_end(self, tiny_config, tmp_path, monkeypatch):
+        """Drive cli.train.main() for real on a tiny synthetic derain tree:
+        one epoch -> JSONL train_step/epoch_end/validation events, a
+        checkpoint + latest.npz, and mid-epoch --ckpt-every-steps files.
+        (The Trainer loop has its own tests; this pins the CLI composition
+        — preset overlay, fit() wiring, eval args — which parse-level
+        tests cannot.)"""
+        import dataclasses
+        import json
+
+        from PIL import Image
+
+        import rcot_tpu.cli.train as train_cli
+
+        rng = np.random.default_rng(0)
+        root = tmp_path / "tree"
+        for d in ("Derain/rainy", "Derain/gt", "manifests/rainy",
+                  "val/input", "val/target"):
+            os.makedirs(root / d)
+        clean = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        rain = np.clip(clean.astype(int) + rng.integers(0, 60, clean.shape),
+                       0, 255).astype(np.uint8)
+        Image.fromarray(rain).save(root / "Derain/rainy/rain-0.png")
+        Image.fromarray(clean).save(root / "Derain/gt/norain-0.png")
+        (root / "manifests/rainy/rainTrain.txt").write_text(
+            "rainy/rain-0.png\n")
+        Image.fromarray(rain[:40, :36]).save(root / "val/input/rain-0.png")
+        Image.fromarray(clean[:40, :36]).save(root / "val/target/norain-0.png")
+
+        tiny = tiny_config.replace(data=dataclasses.replace(
+            tiny_config.data, de_type=("derain",),
+            oversample={"derain": 8, "denoise": 1, "deblur": 1,
+                        "lowlight": 1, "single": 1}))
+        monkeypatch.setattr(train_cli, "get_preset", lambda name: tiny)
+
+        log = tmp_path / "log.jsonl"
+        train_cli.main([
+            "--preset", "derain", "--derain-dir", f"{root}/Derain/",
+            "--data-file-dir", f"{root}/manifests/", "--batch-size", "2",
+            "--n-epochs", "1", "--patch-size", "32", "--ckpt-every-steps", "2",
+            "--degset", f"{root}/val/input/", "--tarset", f"{root}/val/target/",
+            "--ckpt-dir", str(tmp_path / "ckpt"), "--log-file", str(log),
+        ])
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert {"epoch_start", "train_step", "epoch_end",
+                "validation"} <= set(events)
+        ckpts = sorted(os.listdir(tmp_path / "ckpt"))
+        assert "latest.npz" in ckpts
+        assert any("_step2" in c for c in ckpts)  # mid-epoch cadence
+
 
 class TestFidCLI:
     def test_parser(self):
