@@ -44,8 +44,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fused import (_M_PAD, _bwd_dot, _colpad, _dw9, _full_spec,
-                           _gelu, _gelu_grad, _matmul, _pick_th, _row_specs)
+from .pallas_fused import (_accum_ddw, _bwd_dot, _colpad, _dw9, _dw9_corr,
+                           _full_spec, _gelu, _gelu_grad, _matmul, _pick_th,
+                           _row_specs, pad_crashing_m, pad_gate_halves)
 
 _LN_EPS = 1e-5
 
@@ -306,14 +307,9 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     else:
         dconv = dgate
 
-    # dh for mid rows (correlation with rot180(dwk), as in pallas_fused)
-    dcp = _colpad(dconv)
-    dh = None
-    for dy in range(3):
-        for dx in range(3):
-            tap = dcp[2 - dy:2 - dy + th, 2 - dx:2 - dx + w_dim, :]
-            term = tap * dwk[dy, dx, :].astype(jnp.float32)
-            dh = term if dh is None else dh + term
+    # dh for mid rows (correlation with rot180(dwk), shared with
+    # pallas_fused's backward)
+    dh = _dw9_corr(_colpad(dconv), dwk, th)
 
     if has_in:
         du = _bwd_dot(dh.reshape(th * w_dim, m), w_in[:],
@@ -372,10 +368,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
                                   ((0,), (0,)), tier="block")
 
     dconv_mid = dconv[1:1 + th]
-    for dy in range(3):
-        for dx in range(3):
-            tap = hp[1 + dy:1 + dy + th, dx:dx + w_dim, :].astype(jnp.float32)
-            ddw_ref[dy, dx, :] += jnp.sum(dconv_mid * tap, axis=(0, 1))
+    _accum_ddw(ddw_ref, hp, dconv_mid, th)
 
     if has_out:
         conv_mid = conv[1:1 + th]
@@ -542,16 +535,10 @@ def block_head(x: jax.Array, ln_w: jax.Array, ln_b: Optional[jax.Array],
                *, interpret: bool = False) -> jax.Array:
     """LN1 + qkv 1x1 + depthwise 3x3 in one kernel (the MDTA input path,
     reference Net_Restormer.py:35-38 with the block's norm1 folded in)."""
-    m = dwk.shape[2]
-    m_pad = _M_PAD.get(m, m)
-    if m_pad != m:
-        w_qkv = jnp.pad(w_qkv, ((0, 0), (0, m_pad - m)))
-        dwk = jnp.pad(dwk, ((0, 0), (0, 0), (0, m_pad - m)))
-        out = fused_block(x, None, None, ln_w, ln_b, w_qkv, dwk, None,
-                          False, False, interpret)
-        return out[..., :m]
-    return fused_block(x, None, None, ln_w, ln_b, w_qkv, dwk, None,
-                       False, False, interpret)
+    w_qkv, dwk, m = pad_crashing_m(w_qkv, dwk)
+    out = fused_block(x, None, None, ln_w, ln_b, w_qkv, dwk, None,
+                      False, False, interpret)
+    return out[..., :m] if out.shape[-1] != m else out
 
 
 def block_tail(x: jax.Array, attn: jax.Array, w_proj: jax.Array,
@@ -561,19 +548,9 @@ def block_tail(x: jax.Array, attn: jax.Array, w_proj: jax.Array,
     """proj + residual + LN2 + whole GDFN + residual in one kernel
     (reference Net_Restormer.py:49,211-214,67-85 fused).
 
-    Unaligned gate halves are zero-padded to a 128 lane boundary exactly as
-    in ops/pallas_fused.py (dead channels contribute exactly zero)."""
-    m = dwk.shape[2]
-    half = m // 2
-    pad_half = (-half) % 128
-    if pad_half:
-        z_in = jnp.zeros((w_in.shape[0], pad_half), w_in.dtype)
-        w_in = jnp.concatenate(
-            [w_in[:, :half], z_in, w_in[:, half:], z_in], axis=1)
-        z_dw = jnp.zeros((3, 3, pad_half), dwk.dtype)
-        dwk = jnp.concatenate(
-            [dwk[..., :half], z_dw, dwk[..., half:], z_dw], axis=-1)
-        z_out = jnp.zeros((pad_half, w_out.shape[1]), w_out.dtype)
-        w_out = jnp.concatenate([w_out, z_out], axis=0)
+    Unaligned gate halves are zero-padded to a 128 lane boundary via the
+    same helper as ops/pallas_fused.gdfn_fused (dead channels contribute
+    exactly zero)."""
+    w_in, dwk, w_out = pad_gate_halves(w_in, dwk, w_out)
     return fused_block(x, attn, w_proj, ln_w, ln_b, w_in, dwk, w_out,
                        True, True, interpret)

@@ -84,6 +84,36 @@ def _dw9(hp, dwk, rows):
     return acc
 
 
+def _dw9_corr(dcp, dwk, rows):
+    """rot180 correlation of the dconv cotangent with dwk — the depthwise
+    backward's dh. dcp: (rows+2, W+2, M) col-padded dconv band whose row 0
+    is the output row ABOVE the band's first mid row; in band coords
+    dh[j] = sum_{dy,dx} dcp[j+2-dy, i+2-dx] * dwk[dy, dx] (tap row range
+    max = 2-0+rows = rows+2, exactly the band). Shared by the fused-tier
+    and block-tier backward kernels: the dy/dx index algebra is the
+    subtlest part of both and must stay identical."""
+    w = dcp.shape[1] - 2
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = dcp[2 - dy:2 - dy + rows, 2 - dx:2 - dx + w, :]
+            term = tap * dwk[dy, dx, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _accum_ddw(ddw_ref, hp, dconv_mid, rows):
+    """ddw[dy,dx,c] += sum over the band's mid out-rows of dconv * h taps.
+    hp: (rows+4, W+2, M) col-padded h band whose row 0 is abs row rTH-2, so
+    mid out row j (abs rTH+j) taps h abs rows rTH+j-1+dy = hp rows j+1+dy.
+    Shared by both backward kernels (see _dw9_corr)."""
+    w = hp.shape[1] - 2
+    for dy in range(3):
+        for dx in range(3):
+            tap = hp[1 + dy:1 + dy + rows, dx:dx + w, :].astype(jnp.float32)
+            ddw_ref[dy, dx, :] += jnp.sum(dconv_mid * tap, axis=(0, 1))
+
+
 def _matmul(a2d, w, out_dtype):
     return jax.lax.dot_general(
         a2d, w, (((1,), (0,)), ((), ())),
@@ -341,16 +371,8 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
     # dh for mid rows [rTH, rTH+TH): correlation of dconv with rot180(dwk).
     # dh[abs row m][i] = sum_{dy,dx} dconv[m+1-dy, i+1-dx] * dwk[dy,dx]
     # in band coords (dconv band row 0 = abs rTH-1): m+1-dy - (rTH-1)
-    # = (m-rTH) + 2-dy. With dcp = pad(dconv): rows shift by 0, cols by 1:
-    dcp = _colpad(dconv)  # (TH+2, W+2, M), fp32
-    dh = None
-    for dy in range(3):
-        for dx in range(3):
-            tap = dcp[2 - dy:2 - dy + th, 2 - dx:2 - dx + w_dim, :]
-            term = tap * dwk[dy, dx, :].astype(jnp.float32)
-            dh = term if dh is None else dh + term
-    # Note: rows 2-dy .. 2-dy+TH of the TH+2-row band exist for dy in 0..2
-    # only when TH+2 >= TH+2 — tap row range max = 2-0+TH = TH+2 ✓.
+    # = (m-rTH) + 2-dy. With dcp = pad(dconv): rows shift by 0, cols by 1.
+    dh = _dw9_corr(_colpad(dconv), dwk, th)
 
     # dx = dh @ W_in^T (mid rows)
     if has_in:
@@ -374,11 +396,7 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_in: bool, has_out: bool):
 
     # ddwk[dy,dx,c] += sum over mid out rows of dconv_mid * h taps
     dconv_mid = dconv[1:1 + th]  # band row 1 = abs row rTH
-    for dy in range(3):
-        for dx in range(3):
-            # out row j (abs rTH+j) taps h abs row rTH+j-1+dy = hp row j+1+dy
-            tap = hp[1 + dy:1 + dy + th, dx:dx + w_dim, :].astype(jnp.float32)
-            ddw_ref[dy, dx, :] += jnp.sum(dconv_mid * tap, axis=(0, 1))
+    _accum_ddw(ddw_ref, hp, dconv_mid, th)
 
     if has_out:
         # dW_out += gate_mid^T @ g_mid
@@ -489,6 +507,43 @@ fused_dwconv.defvjp(_vjp_fwd, _vjp_bwd)
 
 # ------------------------------------------------------------ module-level
 
+def pad_gate_halves(w_in, dwk, w_out):
+    """Zero-pad each gate half of (w_in, dwk) and the rows of w_out so the
+    gate split lands on a 128-lane boundary. Exact: the dead channels carry
+    zero weights and gelu(0) * x2 * 0-row contributes exactly zero (module
+    docstring). The ONE copy of this logic — the fused tier (gdfn_fused)
+    and the block tier (pallas_block.block_tail) must stay numerically
+    identical, so both call here."""
+    m = dwk.shape[2]
+    half = m // 2
+    pad_half = (-half) % 128
+    if not pad_half:
+        return w_in, dwk, w_out
+    z_in = jnp.zeros((w_in.shape[0], pad_half), w_in.dtype)
+    w_in = jnp.concatenate(
+        [w_in[:, :half], z_in, w_in[:, half:], z_in], axis=1)
+    z_dw = jnp.zeros((3, 3, pad_half), dwk.dtype)
+    dwk = jnp.concatenate(
+        [dwk[..., :half], z_dw, dwk[..., half:], z_dw], axis=-1)
+    z_out = jnp.zeros((pad_half, w_out.shape[1]), w_out.dtype)
+    w_out = jnp.concatenate([w_out, z_out], axis=0)
+    return w_in, dwk, w_out
+
+
+def pad_crashing_m(w_in, dwk):
+    """Zero-pad the dw channel count past a compile-crashing lane count
+    (_M_PAD). Returns (w_in, dwk, m) with m the ORIGINAL count — callers
+    slice the kernel output back to [..., :m]. Shared by the fused-tier
+    qkv path and pallas_block.block_head (padded lanes carry zero weights
+    and receive zero cotangents, so results are exact)."""
+    m = dwk.shape[2]
+    m_pad = _M_PAD.get(m, m)
+    if m_pad == m:
+        return w_in, dwk, m
+    return (jnp.pad(w_in, ((0, 0), (0, m_pad - m))),
+            jnp.pad(dwk, ((0, 0), (0, 0), (0, m_pad - m))), m)
+
+
 def gdfn_fused(x: jax.Array, w_in: jax.Array, dwk: jax.Array,
                w_out: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Whole GDFN (reference Net_Restormer.py:67-85) in one kernel.
@@ -497,18 +552,7 @@ def gdfn_fused(x: jax.Array, w_in: jax.Array, dwk: jax.Array,
     For unaligned H (parity 127/255/...), channels are padded per gate half
     to the next multiple of 128 with zeros — exact (see module docstring).
     """
-    m = dwk.shape[2]
-    half = m // 2
-    pad_half = (-half) % 128
-    if pad_half:
-        z_in = jnp.zeros((w_in.shape[0], pad_half), w_in.dtype)
-        w_in = jnp.concatenate(
-            [w_in[:, :half], z_in, w_in[:, half:], z_in], axis=1)
-        z_dw = jnp.zeros((3, 3, pad_half), dwk.dtype)
-        dwk = jnp.concatenate(
-            [dwk[..., :half], z_dw, dwk[..., half:], z_dw], axis=-1)
-        z_out = jnp.zeros((pad_half, w_out.shape[1]), w_out.dtype)
-        w_out = jnp.concatenate([w_out, z_out], axis=0)
+    w_in, dwk, w_out = pad_gate_halves(w_in, dwk, w_out)
     return fused_dwconv(x, w_in, dwk, w_out, True, interpret)
 
 
@@ -523,11 +567,6 @@ def conv1x1_dw_fused(x: jax.Array, w_in: jax.Array, dwk: jax.Array,
                      *, interpret: bool = False) -> jax.Array:
     """1x1 conv + depthwise 3x3 in one kernel (the MDTA qkv path,
     reference Net_Restormer.py:35-38)."""
-    m = dwk.shape[2]
-    m_pad = _M_PAD.get(m, m)
-    if m_pad != m:
-        w_in = jnp.pad(w_in, ((0, 0), (0, m_pad - m)))
-        dwk = jnp.pad(dwk, ((0, 0), (0, 0), (0, m_pad - m)))
-        out = fused_dwconv(x, w_in, dwk, None, False, interpret)
-        return out[..., :m]
-    return fused_dwconv(x, w_in, dwk, None, False, interpret)
+    w_in, dwk, m = pad_crashing_m(w_in, dwk)
+    out = fused_dwconv(x, w_in, dwk, None, False, interpret)
+    return out[..., :m] if out.shape[-1] != m else out

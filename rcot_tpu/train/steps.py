@@ -58,8 +58,9 @@ class TrainState(NamedTuple):
     f_params: Any
     t_opt: Any
     f_opt: Any
-    step: jax.Array   # global iteration counter
-    epoch: jax.Array  # current epoch (1-based like the reference)
+    step: jax.Array  # global iteration counter; the epoch lives in
+    # checkpoint METADATA (trainer.save), not in device state — the loop
+    # owns it and nothing device-side reads it
 
 
 class Batch(NamedTuple):
@@ -100,7 +101,6 @@ def create_train_state(key: jax.Array, cfg: Config, dtype=jnp.float32,
             t_opt=t_tx.init(t_params),
             f_opt=f_tx.init(f_params),
             step=jnp.zeros((), jnp.int32),
-            epoch=jnp.ones((), jnp.int32),
         )
 
     if jit:

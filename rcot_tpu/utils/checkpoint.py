@@ -3,8 +3,11 @@
 Replaces the reference's whole-module pickles ({"epoch", "Tnet": module,
 "Fnet": module}, reference: trainer.py:362-371) with pure arrays-and-metadata
 checkpoints: the flattened TrainState (both param trees, both optimizer
-states, step/epoch), the data-iterator position, the PRNG key, and the config
-hash — everything needed for step-exact resume (SURVEY.md §5 checkpoint/resume).
+states, step), the data-iterator position, the PRNG key, and the config
+hash — everything needed for step-exact resume (SURVEY.md §5 checkpoint/
+resume); the epoch rides the JSON metadata blob. Loading is template-driven
+(extra npz keys are ignored), so checkpoints written when TrainState still
+carried an in-state epoch leaf load unchanged.
 
 Format: a single .npz of flattened key-paths -> arrays plus a JSON metadata
 blob. Writes are atomic (tmp file + os.replace); a `latest` symlink tracks the

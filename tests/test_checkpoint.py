@@ -32,6 +32,23 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_extra_leaves_in_checkpoint_are_ignored(self, tmp_path):
+        """Loading is template-driven: npz keys absent from the template are
+        skipped. This is the compat contract that lets checkpoints written
+        when TrainState still carried an in-state `epoch` leaf (removed —
+        the epoch lives in metadata) load into today's structure."""
+        s = _state()
+        legacy = dict(s, epoch=jnp.int32(7))  # the removed leaf
+        path = save_checkpoint(str(tmp_path / "old_step17"), legacy,
+                               metadata={"epoch": 7})
+        loaded, meta = load_checkpoint(path, jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), s))
+        assert meta["epoch"] == 7
+        assert "epoch" not in loaded
+        for a, b in zip(jax.tree_util.tree_leaves(s),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_latest_symlink(self, tmp_path):
         save_checkpoint(str(tmp_path / "run_step1"), _state(1))
         save_checkpoint(str(tmp_path / "run_step2"), _state(2))

@@ -34,9 +34,15 @@ def _dw_ref(h, dwk):
 @pytest.fixture(params=[None, "0.001"], ids=["oneband", "multiband"])
 def band_budget(request, monkeypatch):
     """None -> whole image in one row band; '0.001' MB -> TH=1, so every
-    halo/masking path (including both out-of-image edges) is exercised."""
+    halo/masking path (including both out-of-image edges) is exercised.
+    The block BACKWARDS ignore RCOT_FUSED_VMEM_MB by design (their
+    per-shape budgets are crash-bisected), so their own knobs must be set
+    too — otherwise the multiband case only shrinks the forward tile and
+    the band5 masking / revisited-accumulator backward paths go untested."""
     if request.param is not None:
-        monkeypatch.setenv("RCOT_FUSED_VMEM_MB", request.param)
+        for knob in ("RCOT_FUSED_VMEM_MB", "RCOT_TAIL_VMEM_MB",
+                     "RCOT_HEAD_VMEM_MB"):
+            monkeypatch.setenv(knob, request.param)
     return request.param
 
 

@@ -25,13 +25,21 @@ def _twin(temp, qkv, num_heads):
     return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
 
 
-@pytest.mark.parametrize("heads,c", [
-    (1, 8),  # fast-lane representative; the rest run in the slow lane
-    pytest.param(2, 16, marks=pytest.mark.slow),   # b=2 accumulator grid
-    pytest.param(4, 96, marks=pytest.mark.slow),   # model-scale head dim
-    pytest.param(4, 8, marks=pytest.mark.slow),
+@pytest.mark.parametrize("heads,c,multiband", [
+    (1, 8, False),  # fast-lane representative; the rest run in the slow lane
+    # TH=1 -> 8 row bands: the @pl.when(r==0) accumulator inits and the
+    # revisited-block '+=' in gram fwd / apply bwd only execute their
+    # cross-band paths when the grid has >1 band (every real model shape;
+    # the default tile at these tiny test shapes is one whole-image band)
+    (1, 8, True),
+    pytest.param(2, 16, False, marks=pytest.mark.slow),  # b=2 accum grid
+    pytest.param(2, 16, True, marks=pytest.mark.slow),
+    pytest.param(4, 96, False, marks=pytest.mark.slow),  # model-scale head
+    pytest.param(4, 8, False, marks=pytest.mark.slow),
 ])
-def test_gram_core_matches_twin(rng, heads, c):
+def test_gram_core_matches_twin(rng, heads, c, multiband, monkeypatch):
+    if multiband:
+        monkeypatch.setenv("RCOT_GRAM_VMEM_MB", "0.0001")
     # batch 1 keeps interpret-mode grad time down, but ONE case runs b=2 so
     # the per-batch accumulator grid indexing stays covered
     b = 2 if (heads, c) == (2, 16) else 1

@@ -187,8 +187,7 @@ def _to_jax_state(t_sd, f_sd, cfg):
     t_tx, f_tx = make_optimizers(cfg)
     return TrainState(t_params=t_params, f_params=f_params,
                       t_opt=t_tx.init(t_params), f_opt=f_tx.init(f_params),
-                      step=jnp.zeros((), jnp.int32),
-                      epoch=jnp.ones((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32))
 
 
 def _run_jax(t_sd0, f_sd0):
