@@ -174,6 +174,34 @@ class TestLoader:
             np.testing.assert_array_equal(bn.clean, bp.clean)
             np.testing.assert_array_equal(bn.de_id, bp.de_id)
 
+    def test_native_matches_pil_on_size_mismatched_pair(self, tmp_path):
+        """A paired pair whose degraded/clean DIMENSIONS differ (different
+        mod-16 remainders -> different crop_to_base offsets): the native
+        loader used to apply the degraded image's offsets to the clean image
+        and silently diverge from the PIL path."""
+        from rcot_tpu.data import native
+        if not native.available():
+            pytest.skip("native loader not built (native/build.sh)")
+        ddir = str(tmp_path) + "/"
+        _write_img(f"{ddir}Train/Derain/rainy/rain-0.png", h=48, w=48, seed=1)
+        _write_img(f"{ddir}Train/Derain/gt/norain-0.png", h=54, w=58, seed=2)
+        os.makedirs(f"{ddir}manifests/rainy", exist_ok=True)
+        with open(f"{ddir}manifests/rainy/rainTrain.txt", "w") as f:
+            f.write("rainy/rain-0.png\n")
+        data = DataConfig(de_type=("derain",), data_file_dir=f"{ddir}manifests/",
+                          derain_dir=f"{ddir}Train/Derain/", patch_size=32,
+                          num_workers=1,
+                          oversample={"derain": 4, "denoise": 1, "deblur": 1,
+                                      "lowlight": 1, "single": 1})
+        cfg = Config(data=data, train=TrainConfig(batch_size=2))
+        ln = TrainLoader(cfg, seed=5, process_index=0, process_count=1,
+                         use_native=True)
+        lp = TrainLoader(cfg, seed=5, process_index=0, process_count=1,
+                         use_native=False)
+        for bn, bp in zip(ln.epoch(1), lp.epoch(1)):
+            np.testing.assert_array_equal(bn.degraded, bp.degraded)
+            np.testing.assert_array_equal(bn.clean, bp.clean)
+
     def test_per_host_sharding_disjoint(self, fake_data):
         cfg = Config(data=fake_data, train=TrainConfig(batch_size=2))
         l0 = TrainLoader(cfg, seed=3, process_index=0, process_count=2)
@@ -192,3 +220,55 @@ class TestNoiseCombine:
         assert [int(collapse_de_id(i)) for i in range(7)] == [0, 0, 0, 1, 2, 3, 4]
         arr = collapse_de_id(np.array([0, 1, 2, 3, 4, 5, 6]))
         assert arr.tolist() == [0, 0, 0, 1, 2, 3, 4]
+
+
+class TestIndexDeterminism:
+    def test_index_order_independent_of_listdir_order(self, fake_data,
+                                                      monkeypatch):
+        """The sample index order is the determinism/resume/multi-host
+        contract (hosts take strided slices of one shuffled permutation of
+        it) — so every os.listdir must be sorted: raw listing order is
+        filesystem-dependent and differs across hosts/restarts."""
+        import random
+
+        from rcot_tpu.data import datasets as ds
+
+        before = [s.degraded_path
+                  for s in TrainIndex(fake_data, random.Random(0)).samples]
+        real = os.listdir
+        monkeypatch.setattr(ds.os, "listdir",
+                            lambda p: list(reversed(real(p))))
+        after = [s.degraded_path
+                 for s in TrainIndex(fake_data, random.Random(0)).samples]
+        assert before == after
+
+    def test_too_small_image_names_the_file(self, fake_data, tmp_path):
+        """An image smaller than the patch after the mod-crop must raise an
+        error naming the FILE, not an anonymous 'empty range' from a worker
+        thread."""
+        import random
+
+        from rcot_tpu.data.datasets import Sample
+
+        small = str(tmp_path / "small.png")
+        _write_img(small, h=24, w=24)
+        with pytest.raises(ValueError, match="small.png"):
+            get_patch_pair(Sample(small, small, 0), 32, 16, random.Random(0))
+
+
+class TestDevicePrefetch:
+    def test_prefetch_zero_passes_batches_through(self):
+        """prefetch=0 must degrade to a pass-through iterator — it used to
+        yield NOTHING (the fill loop ran zero times), silently training zero
+        steps."""
+        from rcot_tpu.data.pipeline import device_prefetch
+
+        class B:
+            def __init__(self, i):
+                self.degraded = np.full((1,), i, np.float32)
+                self.clean = self.degraded
+                self.de_id = np.zeros((1,), np.int32)
+
+        got = [int(d[0]) for d, _, _ in device_prefetch([B(i) for i in range(3)],
+                                                        size=0)]
+        assert got == [0, 1, 2]

@@ -235,3 +235,37 @@ class TestImageIO:
                          output=np.zeros((8, 8, 3), np.float32),
                          target=np.ones((8, 8, 3), np.float32))
         assert sorted(os.listdir(tmp_path)) == ["ep3_output.png", "ep3_target.png"]
+
+
+class TestMetricsLogger:
+    def test_non_finite_floats_serialize_as_null(self, tmp_path):
+        """json.dumps would emit literal NaN/Infinity — invalid strict JSON
+        that jq/pandas reject (the reference's .mat dumps had exactly this
+        NaN-poisoning problem). Non-finite floats must become null."""
+        import json
+
+        from rcot_tpu.utils.logging import MetricsLogger
+
+        path = str(tmp_path / "log.jsonl")
+        log = MetricsLogger(path, stdout=False, process_index=0)
+        log.log("epoch_end", mean_sec_per_step=float("nan"),
+                patches_per_sec=float("inf"), images=3,
+                loss=np.float32("nan"))
+        log.close()
+        rec = json.loads(open(path).read())  # strict parser must accept it
+        assert rec["mean_sec_per_step"] is None
+        assert rec["patches_per_sec"] is None
+        assert rec["loss"] is None
+        assert rec["images"] == 3
+
+    def test_step_timer_items_per_sec_uses_actual_counts(self):
+        """Throughput comes from the per-call item counts (correct for a
+        short final batch), not a constant batch size."""
+        from rcot_tpu.utils.logging import StepTimer
+
+        t = StepTimer(warmup=0)
+        for n in (4, 4, 2):  # short final batch
+            t.start()
+            t.stop(n)
+        assert t.items == 10
+        assert t.items_per_sec() == pytest.approx(10 / t.total)

@@ -89,3 +89,34 @@ class TestRestorer:
         # interior pixels (away from tile seams) should agree closely
         diff = np.abs(a - b).mean()
         assert diff < 0.05
+
+
+class TestInferenceEdgeCases:
+    def test_reflect_pad_size_one_dims_terminate(self):
+        """Reflect cannot pad a size-1 dimension (no progress possible);
+        the remainder must edge-replicate instead of looping forever."""
+        from rcot_tpu.models.inference import _reflect_pad_hw
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 1, 2, 3)
+        y = _reflect_pad_hw(x, 7, 6)
+        assert y.shape == (1, 8, 8, 3)
+        np.testing.assert_array_equal(np.asarray(y[0, :, 0]),
+                                      np.tile(np.asarray(x[0, 0, 0]), (8, 1)))
+
+    def test_tiled_overlap_wider_than_tile_still_runs(self, rng):
+        """A narrow dimension can shrink the effective tile below the
+        configured overlap; the stride used to go <= 0 and range() raised.
+        The overlap now clamps so tiling still covers the image exactly."""
+        r = Restorer(lambda x: x * 0.5 + 0.1, tile=128, tile_overlap=32)
+        img = rng.uniform(size=(200, 33, 3)).astype(np.float32)  # t -> 32
+        out = r(img)
+        assert out.shape == img.shape
+        np.testing.assert_allclose(out, img * 0.5 + 0.1, atol=1e-6)
+
+    def test_tiled_sliver_image_falls_back_to_whole(self, rng):
+        """One dimension thinner than a pad unit: no tile grid is possible —
+        route through the bucketed whole-image path."""
+        r = Restorer(lambda x: x * 2.0, tile=64, tile_overlap=16)
+        img = rng.uniform(size=(300, 5, 3)).astype(np.float32)
+        out = r(img)
+        assert out.shape == img.shape
+        np.testing.assert_allclose(out, img * 2.0, atol=1e-6)
