@@ -85,10 +85,15 @@ class TrainIndex:
         de = cfg.de_type
         add = self.samples.extend
 
+        # every os.listdir is sorted: listing order is filesystem-dependent,
+        # and the index order IS the determinism/resume/multi-host contract
+        # (pipeline.py shuffles a (seed, epoch)-keyed permutation of it and
+        # hosts take strided slices — all hosts must see the same base order)
         denoise_ids = [t for t in ("denoise_15", "denoise_25", "denoise_50") if t in de]
         if denoise_ids:
             names = set(self._manifest("noisy/denoise.txt"))
-            listing = [cfg.denoise_dir + n for n in os.listdir(cfg.denoise_dir)
+            listing = [cfg.denoise_dir + n
+                       for n in sorted(os.listdir(cfg.denoise_dir))
                        if n.strip() in names]
             for t in denoise_ids:
                 batch = [Sample(p, p, DE_DICT[t]) for p in listing] * ov["denoise"]
@@ -101,23 +106,34 @@ class TrainIndex:
             hazy = [cfg.dehaze_dir + n for n in self._manifest("hazy/hazy_outside.txt")]
             add([Sample(p, haze_gt_path(p), 4) for p in hazy])
         if "deblur" in de:
-            names = os.listdir(os.path.join(cfg.deblur_dir, "sharp/"))
+            names = sorted(os.listdir(os.path.join(cfg.deblur_dir, "sharp/")))
             add([Sample(os.path.join(cfg.deblur_dir, "blur/", n),
                         os.path.join(cfg.deblur_dir, "sharp/", n), 5)
                  for n in names] * ov["deblur"])
         if "lowlight" in de:
-            names = os.listdir(os.path.join(cfg.lowlight_dir, "low/"))
+            names = sorted(os.listdir(os.path.join(cfg.lowlight_dir, "low/")))
             add([Sample(os.path.join(cfg.lowlight_dir, "low/", n),
                         os.path.join(cfg.lowlight_dir, "high/", n), 6)
                  for n in names] * ov["lowlight"])
         if "single" in de:
-            names = os.listdir(os.path.join(cfg.single_dir, "degraded/"))
+            names = sorted(os.listdir(os.path.join(cfg.single_dir, "degraded/")))
             add([Sample(os.path.join(cfg.single_dir, "degraded/", n),
                         os.path.join(cfg.single_dir, "target/", n), 7)
                  for n in names] * ov["single"])
 
     def __len__(self) -> int:
         return len(self.samples)
+
+
+def _check_patchable(path: str, h: int, w: int, patch_size: int,
+                     crop_base: int) -> None:
+    """Name the offending FILE when an image is too small for the patch crop:
+    the bare rng.randint 'empty range' would otherwise surface from a worker
+    thread with no way to tell which input caused it."""
+    if h < patch_size or w < patch_size:
+        raise ValueError(
+            f"training image {path!r} is {h}x{w} after the mod-{crop_base} "
+            f"center crop — smaller than patch_size={patch_size}")
 
 
 def get_patch_pair(sample: Sample, patch_size: int, crop_base: int,
@@ -130,6 +146,7 @@ def get_patch_pair(sample: Sample, patch_size: int, crop_base: int,
     if sample.de_id < 3:
         clean = crop_to_base(load_rgb(sample.clean_path), crop_base)
         h, w = clean.shape[:2]
+        _check_patchable(sample.clean_path, h, w, patch_size, crop_base)
         i = rng.randint(0, h - patch_size)
         j = rng.randint(0, w - patch_size)
         patch = clean[i:i + patch_size, j:j + patch_size]
@@ -137,6 +154,7 @@ def get_patch_pair(sample: Sample, patch_size: int, crop_base: int,
     degraded = crop_to_base(load_rgb(sample.degraded_path), crop_base)
     clean = crop_to_base(load_rgb(sample.clean_path), crop_base)
     h, w = degraded.shape[:2]
+    _check_patchable(sample.degraded_path, h, w, patch_size, crop_base)
     i = rng.randint(0, h - patch_size)
     j = rng.randint(0, w - patch_size)
     return (degraded[i:i + patch_size, j:j + patch_size],

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..utils.config import Config
-from .datasets import TrainIndex, get_patch_pair
+from .datasets import TrainIndex, _check_patchable, get_patch_pair
 
 
 class HostBatch:
@@ -101,10 +101,14 @@ class TrainLoader:
             paths, ys, xs, slots, ids = [], [], [], [], []
             for k, s in enumerate(samples):
                 ids.append(s.de_id)
-                # crop-to-base offsets match datasets.crop_to_base
-                h, w = self._dims(s.degraded_path if s.de_id >= 3 else s.clean_path)
+                # crop-to-base offsets match datasets.crop_to_base; the
+                # random (i, j) draw comes from the DEGRADED image's cropped
+                # geometry (one draw — the same RNG consumption as make_pil)
+                lead = s.degraded_path if s.de_id >= 3 else s.clean_path
+                h, w = self._dims(lead)
                 top, left = (h % base) // 2, (w % base) // 2
                 hh, ww = h - h % base, w - w % base
+                _check_patchable(lead, hh, ww, ps, base)
                 i = rng.randint(0, hh - ps)
                 j = rng.randint(0, ww - ps)
                 if s.de_id < 3:
@@ -113,9 +117,16 @@ class TrainLoader:
                     xs.append(left + j)
                     slots.append(("both", k))
                 else:
+                    # the clean image's base offsets come from ITS OWN
+                    # dimensions (get_patch_pair crops each image with its
+                    # own crop_to_base, then indexes both with the shared
+                    # i,j) — using the degraded offsets here diverged from
+                    # the PIL path whenever a pair's sizes differ
+                    ch, cw = self._dims(s.clean_path)
+                    ctop, cleft = (ch % base) // 2, (cw % base) // 2
                     paths.extend([s.degraded_path, s.clean_path])
-                    ys.extend([top + i, top + i])
-                    xs.extend([left + j, left + j])
+                    ys.extend([top + i, ctop + i])
+                    xs.extend([left + j, cleft + j])
                     slots.extend([("deg", k), ("clean", k)])
             patches = self.native.load_patches(
                 paths, ys, xs, ps, nthreads=max(1, self.cfg.data.num_workers))
@@ -159,6 +170,10 @@ def device_prefetch(host_iter, size: int = 2, sharding=None):
         return jax.tree_util.tree_map(jax.device_put, (b.degraded, b.clean, b.de_id))
 
     it = iter(host_iter)
+    if size <= 0:  # prefetch disabled: plain pass-through, never zero batches
+        for b in it:
+            yield put(b)
+        return
     try:
         for _ in range(size):
             queue.append(put(next(it)))

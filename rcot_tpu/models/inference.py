@@ -36,10 +36,18 @@ import numpy as np
 
 def _reflect_pad_hw(x: jax.Array, ph: int, pw: int) -> jax.Array:
     """Reflect-pad the bottom/right of (B,H,W,C) by (ph, pw), chunked so pads
-    larger than the image (small image, big bucket) stay legal for reflect."""
+    larger than the image (small image, big bucket) stay legal for reflect.
+    A size-1 dimension cannot reflect (no progress possible) — the remainder
+    edge-replicates instead of looping forever."""
     while ph or pw:
         h, w = x.shape[1:3]
         dh, dw = min(ph, h - 1), min(pw, w - 1)
+        if (ph and not dh) or (pw and not dw):  # that axis is size 1: stuck
+            eh, ew = (ph if not dh else 0), (pw if not dw else 0)
+            x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)), mode="edge")
+            ph -= eh
+            pw -= ew
+            continue
         x = jnp.pad(x, ((0, 0), (0, dh), (0, dw), (0, 0)), mode="reflect")
         ph -= dh
         pw -= dw
@@ -190,6 +198,14 @@ class Restorer:
         _, h, w, c = x.shape
         t = min(tile, h, w)
         t -= t % self.pad_base
+        if t < self.pad_base:
+            # one dimension is thinner than a single pad unit — no tile grid
+            # is possible; the whole path buckets/pads it instead
+            return self._whole(x)
+        # the overlap must leave a positive stride (a narrow dimension can
+        # shrink t below the configured overlap, which would make the range
+        # step zero/negative)
+        ov = min(ov, t - self.pad_base)
         stride = t - ov
         hs = list(range(0, max(h - t, 0) + 1, stride))
         ws = list(range(0, max(w - t, 0) + 1, stride))
@@ -199,7 +215,10 @@ class Restorer:
             ws.append(w - t)
 
         tiles = jnp.stack([x[0, i:i + t, j:j + t, :] for i in hs for j in ws])
-        outs = self._fwd(tiles).astype(jnp.float32)
+        # one transfer to host, then numpy-view accumulation: per-tile
+        # .at[].add on device would dispatch two full-image XLA ops per tile
+        # (each copying the whole (H,W,C) accumulator — O(n_tiles * H * W))
+        outs = np.asarray(self._fwd(tiles), np.float32)
 
         # separable tent: ramp over the overlap width, flat in the interior
         ramp = np.ones(t, np.float32)
@@ -207,17 +226,17 @@ class Restorer:
             edge = np.linspace(1.0 / (ov + 1), 1.0, ov, dtype=np.float32)
             ramp[:ov] = edge
             ramp[-ov:] = edge[::-1]
-        prof = jnp.asarray(np.outer(ramp, ramp))[:, :, None]
+        prof = np.outer(ramp, ramp)[:, :, None]
 
-        acc = jnp.zeros((h, w, c), jnp.float32)
-        weight = jnp.zeros((h, w, 1), jnp.float32)
+        acc = np.zeros((h, w, c), np.float32)
+        weight = np.zeros((h, w, 1), np.float32)
         k = 0
         for i in hs:
             for j in ws:
-                acc = acc.at[i:i + t, j:j + t, :].add(outs[k] * prof)
-                weight = weight.at[i:i + t, j:j + t, :].add(prof)
+                acc[i:i + t, j:j + t, :] += outs[k] * prof
+                weight[i:i + t, j:j + t, :] += prof
                 k += 1
-        return (acc / weight)[None]
+        return jnp.asarray(acc / weight)[None]
 
 
 def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,

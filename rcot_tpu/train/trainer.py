@@ -276,11 +276,10 @@ class Trainer:
                 timer.stop(t.batch_size)
             n_imgs += t.batch_size
 
-        mean_dt = timer.mean_step_time()
         self.log.log("epoch_end", epoch=epoch, images=n_imgs,
-                     mean_sec_per_step=mean_dt,
-                     patches_per_sec=(t.batch_size / mean_dt)
-                     if timer.steps_timed else None)
+                     mean_sec_per_step=(timer.mean_step_time()
+                                        if timer.steps_timed else None),
+                     patches_per_sec=timer.items_per_sec())
 
         if (t.sample_every and epoch % t.sample_every == 0
                 and batch is not None and self.is_lead):

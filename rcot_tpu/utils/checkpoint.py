@@ -69,6 +69,12 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **payload)
+            # fsync BEFORE the rename: os.replace alone makes the NAME
+            # durable but not the data pages — a crash could leave
+            # latest.npz pointing at a truncated file after keep-N pruning
+            # already deleted the older good checkpoints
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -42,6 +43,11 @@ class MetricsLogger:
                     v = v.item()
                 except Exception:
                     v = str(v)
+            if isinstance(v, float) and not math.isfinite(v):
+                # plain json.dumps would emit literal NaN/Infinity — invalid
+                # strict JSON that jq/pandas reject (and the very failure
+                # mode the reference's .mat dumps had, module docstring)
+                v = None
             rec[k] = v
         line = json.dumps(rec)
         if self._f:
@@ -62,6 +68,7 @@ class StepTimer:
         self.warmup = warmup
         self.count = 0
         self.total = 0.0
+        self.items = 0
         self._t0 = None
 
     def start(self) -> None:
@@ -72,6 +79,7 @@ class StepTimer:
         self.count += 1
         if self.count > self.warmup:
             self.total += dt
+            self.items += n_items
         return dt
 
     @property
@@ -80,6 +88,11 @@ class StepTimer:
 
     def mean_step_time(self) -> float:
         return self.total / self.steps_timed if self.steps_timed else float("nan")
+
+    def items_per_sec(self) -> Optional[float]:
+        """Throughput over the timed (post-warmup) window, from the actual
+        per-call item counts — correct for variable batch sizes."""
+        return self.items / self.total if self.total else None
 
 
 @contextlib.contextmanager
