@@ -184,6 +184,20 @@ def main():
                   file=sys.stderr)
             time.sleep(10)
     if step is None:
+        # degrade one tier at a time — each rung keeps most of the win
+        # (gram-off = fused + full-block ~27.8 patches/s vs XLA-only ~17.8)
+        from rcot_tpu.ops import dispatch
+        for knob, label in (("RCOT_PALLAS_GRAM", "gram-off (fused + block)"),
+                            ("RCOT_PALLAS_BLOCK", "block-off (fused only)")):
+            os.environ[knob] = "0"
+            dispatch.pallas_enabled.cache_clear()
+            print(f"falling back to {label}", file=sys.stderr)
+            try:
+                step = compile_step()
+                break
+            except Exception as e:
+                print(f"{label} failed: {e!r}"[:300], file=sys.stderr)
+    if step is None:
         from rcot_tpu.ops import dispatch
         os.environ["RCOT_PALLAS_FUSED"] = "0"
         os.environ["RCOT_PALLAS"] = "0"

@@ -22,12 +22,15 @@ the qkv tensor's NATIVE NHWC layout — no transpose anywhere:
                     free (XLA, tiny tensors).
   kernel 2 (apply): out_rows[:, head h] = v_rows @ attn[h]^T
 
-Custom VJPs:
+ONE custom VJP spans the whole core (kernel-per-op VJPs each emitted a
+dense (B,H,W,3C) dqkv with a structurally-zero third, summed by XLA —
+~3 redundant qkv-sized HBM passes per backward):
+  apply bwd: dv_rows = da_rows @ attn[h]  (rowwise, emits ONLY dv) and
+             dattn[h] += da_rows^T @ v_rows  (revisited-block accum);
+  glue vjp (XLA, tiny): dattn -> dgram/dnq/dnk/dtemperature;
   gram bwd: dq[n,c] = sum_d dG[c,d] k[n,d] + 2 q[n,c] dnq[c]  (rowwise,
-            one kernel, no accumulation); dk symmetric; dv = 0.
-  apply bwd: dv_rows = da_rows @ attn[h]  (rowwise) and
-             dattn[h] += da_rows^T @ v_rows  (revisited-block accum),
-             emitted by one kernel.
+            emits ONLY [dq|dk]); dk symmetric;
+  dqkv = concatenate([dq|dk, dv]).
 
 eps semantics pinned to torch F.normalize (ops/attention.py): 1e-12.
 """
@@ -114,7 +117,7 @@ def mdta_gram_fwd(qkv: jax.Array, num_heads: int, *, interpret=False):
     )(qkv)
 
 
-def _gram_bwd_kernel(qkv, dgram, dnq, dnk, dqkv, *, heads, ch, th):
+def _gram_bwd_kernel(qkv, dgram, dnq, dnk, dqdk, *, heads, ch, th):
     c = heads * ch
     w = qkv.shape[2]
     flat = qkv[0].astype(jnp.float32).reshape(th * w, 3 * c)
@@ -128,14 +131,18 @@ def _gram_bwd_kernel(qkv, dgram, dnq, dnk, dqkv, *, heads, ch, th):
                       + 2.0 * k * dnk[0, h][None]))
     dq_all = jnp.concatenate([p[0] for p in parts], axis=-1)
     dk_all = jnp.concatenate([p[1] for p in parts], axis=-1)
-    dv_all = jnp.zeros_like(dq_all)
-    out = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)
-    dqkv[0] = out.reshape(th, w, 3 * c).astype(dqkv.dtype)
+    # only the [dq|dk] thirds — dv is structurally zero here and emitting a
+    # dense 3C tensor cost a redundant qkv-sized HBM write (+ XLA's add with
+    # the apply-bwd's dqkv, which carried the mirrored zeros)
+    out = jnp.concatenate([dq_all, dk_all], axis=-1)
+    dqdk[0] = out.reshape(th, w, 2 * c).astype(dqdk.dtype)
 
 
 def mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads, *, interpret=False):
+    """-> d[q|k] (B,H,W,2C); the caller concatenates the apply-bwd dv."""
     b, hh, w, c3 = qkv.shape
-    ch = (c3 // 3) // num_heads
+    c = c3 // 3
+    ch = c // num_heads
     th = _pick_rows(hh, w, c3, qkv.dtype.itemsize)
     kernel = functools.partial(_gram_bwd_kernel, heads=num_heads, ch=ch,
                                th=th)
@@ -146,29 +153,10 @@ def mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads, *, interpret=False):
                   _acc_block((num_heads, ch, ch)),
                   _acc_block((num_heads, ch)),
                   _acc_block((num_heads, ch))],
-        out_specs=_row_block(th, w, c3),
-        out_shape=jax.ShapeDtypeStruct((b, hh, w, c3), qkv.dtype),
+        out_specs=_row_block(th, w, 2 * c),
+        out_shape=jax.ShapeDtypeStruct((b, hh, w, 2 * c), qkv.dtype),
         interpret=interpret,
     )(qkv, dgram, dnq, dnk)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def mdta_gram(qkv, num_heads, interpret=False):
-    """(B,H,W,3C) -> (G_raw (B,heads,ch,ch), nq, nk (B,heads,ch)), fp32."""
-    return mdta_gram_fwd(qkv, num_heads, interpret=interpret)
-
-
-def _gram_vjp_fwd(qkv, num_heads, interpret):
-    return mdta_gram_fwd(qkv, num_heads, interpret=interpret), qkv
-
-
-def _gram_vjp_bwd(num_heads, interpret, qkv, gs):
-    dgram, dnq, dnk = gs
-    return (mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads,
-                          interpret=interpret),)
-
-
-mdta_gram.defvjp(_gram_vjp_fwd, _gram_vjp_bwd)
 
 
 # ------------------------------------------------------------------ apply
@@ -204,7 +192,7 @@ def attn_apply_fwd(qkv, attn, *, interpret=False):
     )(qkv, attn)
 
 
-def _apply_bwd_kernel(qkv, attn, g, dqkv, dattn, *, heads, ch, th):
+def _apply_bwd_kernel(qkv, attn, g, dv_ref, dattn, *, heads, ch, th):
     r = pl.program_id(1)
     c = heads * ch
     w = qkv.shape[2]
@@ -222,13 +210,14 @@ def _apply_bwd_kernel(qkv, attn, g, dqkv, dattn, *, heads, ch, th):
         a = attn[0, h]
         parts.append(_bwd_dot(da, a, ((1,), (0,)), tier="gram"))
         dattn[0, h] += _bwd_dot(da, v, ((0,), (0,)), tier="gram")
+    # only the dv third — the [dq|dk] thirds are structurally zero here
+    # (see _gram_bwd_kernel's mirror-image note)
     dv_all = jnp.concatenate(parts, axis=-1)
-    zeros = jnp.zeros((th * w, 2 * c), jnp.float32)
-    out = jnp.concatenate([zeros, dv_all], axis=-1)
-    dqkv[0] = out.reshape(th, w, 3 * c).astype(dqkv.dtype)
+    dv_ref[0] = dv_all.reshape(th, w, c).astype(dv_ref.dtype)
 
 
 def attn_apply_bwd(qkv, attn, g, *, interpret=False):
+    """-> (dv (B,H,W,C), dattn (B,heads,ch,ch))."""
     b, hh, w, c3 = qkv.shape
     c = c3 // 3
     heads = attn.shape[1]
@@ -240,46 +229,72 @@ def attn_apply_bwd(qkv, attn, g, *, interpret=False):
         grid=(b, hh // th),
         in_specs=[_row_block(th, w, c3), _acc_block((heads, ch, ch)),
                   _row_block(th, w, c)],
-        out_specs=(_row_block(th, w, c3), _acc_block((heads, ch, ch))),
-        out_shape=(jax.ShapeDtypeStruct((b, hh, w, c3), qkv.dtype),
+        out_specs=(_row_block(th, w, c), _acc_block((heads, ch, ch))),
+        out_shape=(jax.ShapeDtypeStruct((b, hh, w, c), qkv.dtype),
                    jax.ShapeDtypeStruct((b, heads, ch, ch), jnp.float32)),
         interpret=interpret,
     )(qkv, attn, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def attn_apply(qkv, attn, interpret=False):
-    """out[..., head h] = v_rows @ attn[b,h]^T; qkv (B,H,W,3C) NHWC."""
-    return attn_apply_fwd(qkv, attn, interpret=interpret)
-
-
-def _apply_vjp_fwd(qkv, attn, interpret):
-    return attn_apply_fwd(qkv, attn, interpret=interpret), (qkv, attn)
-
-
-def _apply_vjp_bwd(interpret, res, g):
-    qkv, attn = res
-    dqkv, dattn = attn_apply_bwd(qkv, attn, g, interpret=interpret)
-    return dqkv, dattn.astype(attn.dtype)
-
-
-attn_apply.defvjp(_apply_vjp_fwd, _apply_vjp_bwd)
-
-
 # ------------------------------------------------------------ module-level
+
+def _glue(gram, nq, nk, temperature):
+    """The tiny (B,heads,ch,ch) normalize/temperature/softmax chain between
+    the two kernels — plain XLA, differentiated by jax.vjp in the core's
+    backward."""
+    rq = jnp.maximum(jnp.sqrt(nq), _L2_EPS)
+    rk = jnp.maximum(jnp.sqrt(nk), _L2_EPS)
+    ghat = gram / (rq[..., :, None] * rk[..., None, :])
+    temp = jnp.asarray(temperature).astype(jnp.float32)  # (heads, 1, 1)
+    return jax.nn.softmax(ghat * temp[None], axis=-1)
+
 
 def mdta_core_gram(temperature: jax.Array, qkv: jax.Array, num_heads: int,
                    *, interpret: bool = False) -> jax.Array:
+    """Keyword-friendly wrapper: custom_vjp functions take positional args
+    only (nondiff_argnums are positional indices)."""
+    return _mdta_core(temperature, qkv, num_heads, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mdta_core(temperature: jax.Array, qkv: jax.Array, num_heads: int,
+               interpret: bool = False) -> jax.Array:
     """Full MDTA attention core on NHWC qkv, no head-relayout transposes.
 
     Numerically identical to ops/attention.py mdta_attend (the Gram of
     L2-normalized rows equals the raw Gram scaled by the norms; eps pinned
     to torch F.normalize's 1e-12), with fp32 accumulation throughout.
+
+    One custom_vjp spans the whole core: with separate per-kernel VJPs both
+    backward kernels emitted a full dense (B,H,W,3C) dqkv whose complement
+    thirds were structurally zero, and XLA summed them — roughly three
+    redundant qkv-sized HBM passes per MDTA backward. Here the apply
+    backward writes only dv, the gram backward writes only [dq|dk], and one
+    concatenate assembles dqkv.
     """
-    gram, nq, nk = mdta_gram(qkv, num_heads, interpret)
-    rq = jnp.maximum(jnp.sqrt(nq), _L2_EPS)
-    rk = jnp.maximum(jnp.sqrt(nk), _L2_EPS)
-    ghat = gram / (rq[..., :, None] * rk[..., None, :])
-    temp = jnp.asarray(temperature).astype(jnp.float32)  # (heads, 1, 1)
-    attn = jax.nn.softmax(ghat * temp[None], axis=-1)
-    return attn_apply(qkv, attn, interpret)
+    gram, nq, nk = mdta_gram_fwd(qkv, num_heads, interpret=interpret)
+    return attn_apply_fwd(qkv, _glue(gram, nq, nk, temperature),
+                          interpret=interpret)
+
+
+def _core_vjp_fwd(temperature, qkv, num_heads, interpret):
+    gram, nq, nk = mdta_gram_fwd(qkv, num_heads, interpret=interpret)
+    attn = _glue(gram, nq, nk, temperature)
+    out = attn_apply_fwd(qkv, attn, interpret=interpret)
+    # residuals are small except qkv (needed by both backward kernels);
+    # attn is recomputed from (gram, nq, nk) in the bwd so the glue's vjp
+    # can be rebuilt there (vjp closures aren't storable residuals)
+    return out, (qkv, gram, nq, nk, temperature)
+
+
+def _core_vjp_bwd(num_heads, interpret, res, g):
+    qkv, gram, nq, nk, temperature = res
+    attn, glue_vjp = jax.vjp(_glue, gram, nq, nk, temperature)
+    dv, dattn = attn_apply_bwd(qkv, attn, g, interpret=interpret)
+    dgram, dnq, dnk, dtemp = glue_vjp(dattn)
+    dqdk = mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads,
+                         interpret=interpret)
+    return dtemp, jnp.concatenate([dqdk, dv], axis=-1)
+
+
+_mdta_core.defvjp(_core_vjp_fwd, _core_vjp_bwd)
