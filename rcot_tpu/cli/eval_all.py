@@ -74,10 +74,11 @@ def main(argv=None) -> None:
         for sigma in args.sigmas:
             ds.set_sigma(sigma)
             items = (ds[i] for i in range(len(ds)))
-            results[f"denoise_sigma{int(sigma)}"] = _eval_items(
-                restorer, items, psnr, ssim_ref_single)
-            print(f"denoise σ={sigma}: {results[f'denoise_sigma{int(sigma)}']}",
-                  flush=True)
+            # :g keeps fractional sigmas distinct (int() made 15.2 and 15.8
+            # collide on the same key and silently overwrite each other)
+            key = f"denoise_sigma{sigma:g}"
+            results[key] = _eval_items(restorer, items, psnr, ssim_ref_single)
+            print(f"denoise σ={sigma}: {results[key]}", flush=True)
     if args.derain_path or args.dehaze_path:
         ds = DerainDehazeDataset(args.derain_path or "", args.dehaze_path or "",
                                  task="derain" if args.derain_path else "dehaze")

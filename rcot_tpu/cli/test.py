@@ -197,17 +197,20 @@ def main(argv=None) -> None:
     chunk = []
     for deg_path, tar_path in eval_pairs(args.degset, args.tarset):
         name = os.path.basename(deg_path)
-        deg = load_rgb(deg_path).astype(np.float32) / 255.0
         tar = load_rgb(tar_path).astype(np.float32) / 255.0
         s = max(args.sr_scale, 1)
-        expect = (deg.shape[0] * s, deg.shape[1] * s, deg.shape[2])
-        if tar.shape != expect:
-            print(f"skip {name}: shape mismatch {deg.shape} vs {tar.shape}"
-                  + (f" (sr x{s})" if s > 1 else ""))
-            continue
         if args.noise_sigma > 0:
+            # noise mode synthesizes the degraded input from the target —
+            # don't decode the degset image just to discard it
             noise = rng.standard_normal(tar.shape) * args.noise_sigma / 255.0
             deg = np.clip(tar + noise, 0.0, 1.0).astype(np.float32)
+        else:
+            deg = load_rgb(deg_path).astype(np.float32) / 255.0
+            expect = (deg.shape[0] * s, deg.shape[1] * s, deg.shape[2])
+            if tar.shape != expect:
+                print(f"skip {name}: shape mismatch {deg.shape} vs {tar.shape}"
+                      + (f" (sr x{s})" if s > 1 else ""))
+                continue
         chunk.append((name, deg, tar))
         if len(chunk) >= max(args.batch, 1):
             flush(chunk)

@@ -58,11 +58,35 @@ class _SD:
         return sorted(set(self.sd) - self.used)
 
 
-def _port_conv(sd: _SD, prefix: str, *, transpose=True) -> Dict:
+def _port_conv(sd: _SD, prefix: str) -> Dict:
     p = {"w": conv_w(sd.take(prefix + ".weight"))}
     if sd.has(prefix + ".bias"):
         p["b"] = _np(sd.take(prefix + ".bias"))
     return p
+
+
+def _as_sd(sd_in) -> _SD:
+    return sd_in if isinstance(sd_in, _SD) else _SD(sd_in)
+
+
+def check_fully_ported(sd: _SD, what: str, benign_substrings=()) -> None:
+    """Raise if checkpoint weights were left unconsumed by the port — a
+    silent leftover means the loaded model has a DIFFERENT architecture than
+    was trained (e.g. more refinement blocks than the caller's config), which
+    surfaces as mysteriously bad PSNR instead of a load error.
+    RCOT_PORT_ALLOW_UNUSED=1 downgrades to a warning (exotic checkpoints)."""
+    import os
+
+    leftovers = [k for k in sd.unused()
+                 if not any(b in k for b in benign_substrings)]
+    if not leftovers:
+        return
+    msg = (f"{len(leftovers)} {what} weights in the checkpoint were not "
+           f"ported — architecture/config mismatch (e.g. a different block "
+           f"count than the target config). First few: {leftovers[:5]}")
+    if os.environ.get("RCOT_PORT_ALLOW_UNUSED", "") in ("", "0"):
+        raise ValueError(msg + ". Set RCOT_PORT_ALLOW_UNUSED=1 to load anyway.")
+    print(f"warning: {msg}; loading anyway (RCOT_PORT_ALLOW_UNUSED).")
 
 
 def _port_ln(sd: _SD, prefix: str) -> Dict:
@@ -101,7 +125,7 @@ def _port_resample(sd: _SD, prefix: str) -> Dict:
 
 def port_tnet_state_dict(sd_in: Mapping[str, object], cfg: ModelConfig) -> Dict:
     """Reference T_net state_dict -> rcot-tpu param pytree (init_tnet layout)."""
-    sd = _SD(sd_in)
+    sd = _as_sd(sd_in)
     nb = cfg.num_blocks
     p: Dict = {
         "patch_embed": _port_conv(sd, "patch_embed.proj"),
@@ -157,7 +181,7 @@ _FNET_FEATURE_IDX = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
 
 
 def port_fnet_state_dict(sd_in: Mapping[str, object], cfg: CriticConfig) -> Dict:
-    sd = _SD(sd_in)
+    sd = _as_sd(sd_in)
     convs = [_port_conv(sd, f"features.{i}") for i in _FNET_FEATURE_IDX]
 
     # fc input rows: torch flattens (C, H, W); we flatten (H, W, C).
@@ -203,7 +227,7 @@ def port_mprnet_state_dict(sd_in: Mapping[str, object]) -> Dict:
 
     The single shared nn.PReLU appears in the state_dict under the first
     module that registered it (shallow_feat1.1.body.1.weight)."""
-    sd = _SD(sd_in)
+    sd = _as_sd(sd_in)
     p: Dict = {
         "prelu_a": _np(sd.take("shallow_feat1.1.body.1.weight")),
         "shallow_feat1": {
@@ -258,17 +282,23 @@ def load_reference_checkpoint(path: str, model_cfg: ModelConfig,
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    t_sd = ckpt["Tnet"].state_dict()
-    f_sd = ckpt["Fnet"].state_dict()
+    t_sd = _SD(ckpt["Tnet"].state_dict())
+    f_sd = _SD(ckpt["Fnet"].state_dict())
     if backbone == "auto":
-        backbone = detect_backbone(t_sd)
+        backbone = detect_backbone(t_sd.sd)
     if backbone == "mprnet":
         t_params = port_mprnet_state_dict(t_sd)
+        # the single shared nn.PReLU registers under EVERY module path that
+        # references it (state_dict does not deduplicate shared params); the
+        # porter takes the first — the duplicates are benign leftovers
+        check_fully_ported(t_sd, "T_net", benign_substrings=(".body.1.weight",))
         # the legacy critic head is FIXED at 512*8*8 -> 2048 (patch 256,
         # Net.py:275) regardless of the caller's training patch config
         critic_cfg = dataclasses.replace(critic_cfg, patch_size=256,
                                          fc_mid=2048, head="flatten")
     else:
         t_params = port_tnet_state_dict(t_sd, model_cfg)
-    return (t_params, port_fnet_state_dict(f_sd, critic_cfg),
-            int(ckpt.get("epoch", 0)), backbone)
+        check_fully_ported(t_sd, "T_net")
+    f_params = port_fnet_state_dict(f_sd, critic_cfg)
+    check_fully_ported(f_sd, "F_net")
+    return (t_params, f_params, int(ckpt.get("epoch", 0)), backbone)

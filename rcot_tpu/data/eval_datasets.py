@@ -40,12 +40,18 @@ class DenoiseTestDataset:
     def __init__(self, denoise_path: str, sigma: float = 15, *, seed: int = 0,
                  crop_base: int = 16):
         self.files = list_image_folder(denoise_path)
-        self.sigma = sigma
         self.crop_base = crop_base
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
+        self.set_sigma(sigma)
 
     def set_sigma(self, sigma: float) -> None:
+        """Reseeds the noise stream from (seed, sigma): each sigma's noise
+        is then independent of which other sigmas were evaluated first, so
+        per-sigma numbers are reproducible across invocations. (The
+        reference draws from the unseeded global np.random stream,
+        dataset_utils.py:307-308 — no reproducibility contract to keep.)"""
         self.sigma = sigma
+        self.rng = np.random.default_rng((self._seed, int(sigma * 1000)))
 
     def __len__(self) -> int:
         return len(self.files)

@@ -78,12 +78,17 @@ def ssim_ref_single(img1: jax.Array, img2: jax.Array) -> jax.Array:
     C2=(0.03*255)^2; inputs in [0, 255]. Multichannel inputs are filtered
     per-channel jointly (cv2.filter2D applies the 2-D window per channel).
     """
-    img1 = img1.astype(jnp.float32)
-    img2 = img2.astype(jnp.float32)
+    # Rescale [0,255] -> [0,1] with C1/C2 scaled by (1/255)^2: SSIM is
+    # exactly invariant under this, and it buys ~5e4x less fp32 cancellation
+    # in sigma = filt(x^2) - mu^2 (at |x|~255, filt(x^2) ~ 6.5e4 where fp32
+    # eps is ~0.007 — percent-level sigma error in flat regions; the
+    # reference computes in float64 and never sees it).
+    img1 = img1.astype(jnp.float32) / 255.0
+    img2 = img2.astype(jnp.float32) / 255.0
     window = _gaussian_kernel_cv2(2, 1.0)
     window2d = np.outer(window, window)
-    c1 = (0.01 * 255) ** 2
-    c2 = (0.03 * 255) ** 2
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
 
     def filt(x):
         if x.ndim == 2:

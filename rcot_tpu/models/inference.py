@@ -153,15 +153,21 @@ class Restorer:
         """Restore several images in one forward per bucket group.
 
         Images are grouped by (bucketed H, bucketed W); each group pads to
-        its bucket and runs as a single batch. Order is preserved.
+        its bucket and runs as a single batch. Order is preserved. With a
+        tile configured, images exceeding it route through the overlap-tiled
+        path individually — batching whole an image that --tile was meant to
+        make fit in HBM would silently drop the tiling and OOM.
         """
         groups: dict = {}
+        out: List[Optional[np.ndarray]] = [None] * len(imgs)
         for i, im in enumerate(imgs):
             h, w = im.shape[:2]
+            if self.tile and max(h, w) > self.tile:
+                out[i] = self(im)
+                continue
             key = (bucket_size(h, self.pad_base, self.buckets),
                    bucket_size(w, self.pad_base, self.buckets))
             groups.setdefault(key, []).append(i)
-        out: List[Optional[np.ndarray]] = [None] * len(imgs)
         for (bh, bw), idxs in groups.items():
             batch = jnp.concatenate([
                 _reflect_pad_hw(jnp.asarray(imgs[i])[None],

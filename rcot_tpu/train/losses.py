@@ -64,13 +64,22 @@ def gan_loss(scores: jax.Array, target_is_real: bool,
 
 
 def tv_loss(x: jax.Array, weight: float = 1.0) -> jax.Array:
-    """Total-variation regularizer (reference: utils.py:59-72, unused by the
-    main path): mean squared forward differences, h + w, NHWC."""
-    b, h, w, _ = x.shape
+    """Total-variation regularizer: per-element mean of squared forward
+    differences over height and width, NHWC, batch-averaged — the standard
+    (jxgu1016) TVLoss the reference derives from.
+
+    DELIBERATE deviation: the reference's copy (utils.py:59-72, dead on the
+    main path) squeezes to CHW but keeps the 4-D snippet's dim-0/1 indexing,
+    so its 'h_tv' actually differences CHANNELS and its 'w_tv' differences
+    HEIGHT, each over the other's element count — scrambled beyond intent.
+    We implement the math the snippet intends rather than reproduce a
+    broken dead branch (SURVEY.md §2.2 quirks policy: bugs with no training
+    effect are fixed and documented)."""
+    b, h, w, c = x.shape
     dh = jnp.sum(jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]))
     dw = jnp.sum(jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]))
-    count_h = (h - 1) * w
-    count_w = h * (w - 1)
+    count_h = c * (h - 1) * w
+    count_w = c * h * (w - 1)
     return weight * 2.0 * (dh / count_h + dw / count_w) / b
 
 

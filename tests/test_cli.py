@@ -335,3 +335,24 @@ class TestTesterCLI:
         got = capsys.readouterr().out
         assert "PSNR: average" in got
         assert os.listdir(out_dir) == ["im0.png"]
+
+
+class TestPortEnforcement:
+    def test_unported_leftovers_raise_with_names(self, monkeypatch):
+        """Weights the port didn't consume mean the loaded model is a
+        DIFFERENT architecture than was trained (e.g. more refinement
+        blocks than the target config) — that must be a load error naming
+        the keys, not mysteriously bad PSNR later."""
+        from rcot_tpu.compat.torch_port import _SD, check_fully_ported
+
+        sd = _SD({"a.weight": np.zeros(1), "refinement.4.norm1.body.weight":
+                  np.zeros(8)})
+        sd.take("a.weight")
+        with pytest.raises(ValueError, match="refinement.4"):
+            check_fully_ported(sd, "T_net")
+        # benign substrings (the mprnet shared-PReLU duplicates) are exempt
+        sd2 = _SD({"x.body.1.weight": np.zeros(1)})
+        check_fully_ported(sd2, "T_net", benign_substrings=(".body.1.weight",))
+        # and the escape hatch downgrades to a warning
+        monkeypatch.setenv("RCOT_PORT_ALLOW_UNUSED", "1")
+        check_fully_ported(sd, "T_net")

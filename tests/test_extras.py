@@ -103,14 +103,16 @@ class TestAuxLosses:
         assert float(gan_loss(s, True, "wgan")) == -2.0
         assert float(gan_loss(s, False, "wgan")) == 2.0
 
-    def test_tv_loss_matches_torch_reference_math(self, rng):
-        """reference utils.py:59-72 math on NCHW; ours on NHWC."""
+    def test_tv_loss_standard_math(self, rng):
+        """The INTENDED jxgu1016 TVLoss math (per-element counts include
+        channels); the reference's own copy is scrambled dead code — see
+        tv_loss's docstring for the documented deviation."""
         x = rng.uniform(size=(2, 6, 5, 3)).astype(np.float32)
         got = float(tv_loss(jnp.asarray(x), weight=2.0))
         b, h, w, c = x.shape
         dh = np.sum((x[:, 1:] - x[:, :-1]) ** 2)
         dw = np.sum((x[:, :, 1:] - x[:, :, :-1]) ** 2)
-        want = 2.0 * 2.0 * (dh / ((h - 1) * w) + dw / (h * (w - 1))) / b
+        want = 2.0 * 2.0 * (dh / (c * (h - 1) * w) + dw / (c * h * (w - 1))) / b
         assert got == pytest.approx(want, rel=1e-5)
 
 
