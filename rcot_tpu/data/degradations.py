@@ -22,9 +22,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # sigma per denoise de_id (reference: util/degradation_utils.py:29-38).
-_SIGMAS = jnp.array([15.0, 25.0, 50.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+# numpy, NOT jnp: a module-scope jnp.array would initialize the JAX backend
+# as an import side effect — seizing the (single-tenancy) TPU and breaking
+# jax.distributed.initialize ordering for any library user who imports
+# before calling it. It is converted at trace time where used.
+_SIGMAS = np.array([15.0, 25.0, 50.0, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
 
 
 def dihedral(x: jax.Array, mode: jax.Array) -> jax.Array:
@@ -59,7 +64,7 @@ def augment_and_degrade(key: jax.Array, clean: jax.Array, degraded: jax.Array,
     clean = jax.vmap(dihedral)(clean, modes)
     degraded = jax.vmap(dihedral)(degraded, modes)
 
-    sigma = _SIGMAS[jnp.clip(de_id, 0, 7)][:, None, None, None]
+    sigma = jnp.asarray(_SIGMAS)[jnp.clip(de_id, 0, 7)][:, None, None, None]
     noise = jax.random.normal(k_noise, clean.shape, jnp.float32)
     noisy = jnp.clip(clean.astype(jnp.float32) + noise * sigma, 0.0, 255.0)
     # uint8 truncation parity with numpy .astype(np.uint8).

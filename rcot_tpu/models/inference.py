@@ -266,8 +266,9 @@ def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
         from .mprnet import apply_mprnet_tnet
 
         def fn(p, x):
-            out2, _, _ = apply_mprnet_tnet(p, x.astype(dtype),
-                                           sr_scale=sr_scale)
+            out2, _, _ = apply_mprnet_tnet(
+                p, x.astype(dtype), sr_scale=sr_scale,
+                residual_cond_scale=model_cfg.latent_cond_scale)
             return out2.astype(jnp.float32)
     else:
         raise ValueError(f"unknown backbone {backbone!r}")

@@ -26,6 +26,7 @@ models.critic with CriticConfig(patch_size=256) — identical math, pin
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -40,6 +41,40 @@ def _resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
     """torch F.interpolate bilinear align_corners=False, no antialias."""
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, h, w, c), method="linear", antialias=False)
+
+
+@functools.lru_cache(maxsize=16)
+def _bicubic_matrix(n_in: int, scale: int, a: float = -0.75) -> np.ndarray:
+    """(n_in*scale, n_in) resize matrix reproducing torch F.interpolate
+    mode='bicubic' align_corners=False: half-pixel mapping, Keys cubic with
+    a=-0.75 (jax.image.resize's 'cubic' uses a=-0.5 — up to 0.068 off on
+    [0,1] inputs, which would feed ported SR checkpoints materially
+    different inputs than they were trained on), border taps clamped."""
+    n_out = n_in * scale
+    m = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        i = (o + 0.5) / scale - 0.5
+        base = int(np.floor(i))
+        for t in range(base - 1, base + 3):
+            d = abs(i - t)
+            if d <= 1:
+                wgt = (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
+            elif d < 2:
+                wgt = a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
+            else:
+                continue
+            m[o, min(max(t, 0), n_in - 1)] += wgt
+    return m
+
+
+def _upsample_bicubic_torch(x: jax.Array, scale: int) -> jax.Array:
+    """Separable torch-parity bicubic upsample of (B,H,W,C) by an integer
+    scale (the legacy SR pre-upsample, Net.py:182-183)."""
+    _, h, w, _ = x.shape
+    mh = jnp.asarray(_bicubic_matrix(h, scale), x.dtype)
+    mw = jnp.asarray(_bicubic_matrix(w, scale), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
 def prelu(x: jax.Array, a: jax.Array) -> jax.Array:
@@ -191,9 +226,7 @@ def apply_mprnet_tnet(p: Dict, deg_img: jax.Array, *, sr_scale: int = 0,
     Returns (out2, out1, res) like the Restormer T_net.
     """
     if sr_scale:
-        b, h, w, c = deg_img.shape
-        deg_img = jax.image.resize(deg_img, (b, h * sr_scale, w * sr_scale, c),
-                                   method="cubic")
+        deg_img = _upsample_bicubic_torch(deg_img, sr_scale)
     a = p["prelu_a"]
 
     def shallow(sp, x):

@@ -87,9 +87,9 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "spatial", None, None))
 
 
-def _is_multi_process(mesh: Mesh) -> bool:
-    return any(d.process_index != jax.process_index()
-               for d in mesh.devices.flat)
+def _is_multi_process(devices) -> bool:
+    """True when any device in the iterable lives on another process."""
+    return any(d.process_index != jax.process_index() for d in devices)
 
 
 # -------------------------------------------------- tensor (channel) sharding
@@ -181,8 +181,7 @@ def put_global(tree, sharding, *, local_slices: bool = False) -> object:
     else:
         shardings = sharding
     probe = jax.tree_util.tree_leaves(shardings)[0]
-    multi = any(d.process_index != jax.process_index()
-                for d in probe.device_set)
+    multi = _is_multi_process(probe.device_set)
     if multi:
         if local_slices:
             return jax.tree_util.tree_map(

@@ -43,7 +43,10 @@ def make_model_apply(cfg: Config, *, full: bool = False):
         from ..models.mprnet import apply_mprnet_tnet
 
         def fn3(tp, x):
-            return apply_mprnet_tnet(tp, x)
+            # latent_cond_scale is the same conditioning knob the Restormer
+            # backbone reads (Net.py:212's 0.8 == Net_Restormer.py:401's)
+            return apply_mprnet_tnet(
+                tp, x, residual_cond_scale=cfg.model.latent_cond_scale)
     elif cfg.model.backbone == "restormer":
         def fn3(tp, x):
             return apply_tnet(tp, x, cfg.model)

@@ -101,3 +101,48 @@ class TestForward:
             tx, scale_factor=2, mode="bilinear", align_corners=False).numpy()
         np.testing.assert_allclose(got_up, np.transpose(want_up, (0, 2, 3, 1)),
                                    atol=1e-5)
+
+
+class TestSRUpsampleParity:
+    def test_bicubic_matches_torch_interpolate(self):
+        """The legacy SR pre-upsample (Net.py:182-183) is torch
+        F.interpolate mode='bicubic' align_corners=False — Keys a=-0.75.
+        jax.image.resize 'cubic' is a=-0.5 (up to 0.068 off on [0,1]
+        inputs), so the matrix-based resampler must match torch, not jax."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from rcot_tpu.models.mprnet import _upsample_bicubic_torch
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(size=(2, 8, 6, 3)).astype(np.float32)
+        ours = np.asarray(_upsample_bicubic_torch(jnp.asarray(x), 4))
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            scale_factor=4, mode="bicubic",
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestCondScaleWiring:
+    def test_latent_cond_scale_reaches_the_mprnet_forward(self):
+        """ModelConfig.latent_cond_scale must change the mprnet two-pass
+        output (it silently did nothing on this backbone while the
+        restormer honored it)."""
+        import dataclasses
+
+        from rcot_tpu.train.steps import make_model_apply
+        from rcot_tpu.utils.config import Config, ModelConfig
+
+        cfg = Config(model=ModelConfig(backbone="mprnet", mprnet_n_feat=8,
+                                       mprnet_scale_feats=4,
+                                       parity_params=False))
+        p = init_mprnet_tnet(jax.random.PRNGKey(0), n_feat=8,
+                             scale_unetfeats=4)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 32, 32, 3)), jnp.float32)
+        a = make_model_apply(cfg, full=True)(p, x)[0]
+        cfg2 = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_cond_scale=0.1))
+        b = make_model_apply(cfg2, full=True)(p, x)[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
