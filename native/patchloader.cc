@@ -16,6 +16,7 @@
 //
 // Build: native/build.sh (g++ -O2 -shared -fPIC, links libpng + libjpeg).
 
+#include <cctype>
 #include <csetjmp>
 #include <cstdio>
 #include <cstdlib>
@@ -37,7 +38,10 @@ struct Image {
 
 bool has_suffix(const char* path, const char* a, const char* b) {
   std::string s(path);
-  for (auto& c : s) c = std::tolower(c);
+  // unsigned char cast: std::tolower on a negative char (non-ASCII UTF-8
+  // byte on signed-char platforms) is undefined behavior
+  for (auto& c : s)
+    c = static_cast<char>(std::tolower(static_cast<unsigned char>(c)));
   auto ends = [&](const char* suf) {
     size_t n = strlen(suf);
     return s.size() >= n && s.compare(s.size() - n, n, suf) == 0;
@@ -50,6 +54,11 @@ bool has_suffix(const char* path, const char* a, const char* b) {
 bool decode_png(const char* path, Image* im, bool header_only) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
+  // Declared BEFORE setjmp: libpng reports errors by longjmp'ing back to
+  // png_jmpbuf, and jumping over a live non-trivially-destructible local
+  // is undefined behavior (in practice the row-pointer vector leaked on
+  // every corrupt PNG). Constructed here, it is destroyed on every exit.
+  std::vector<png_bytep> rows;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -81,7 +90,7 @@ bool decode_png(const char* path, Image* im, bool header_only) {
   png_read_update_info(png, info);
 
   im->rgb.resize(size_t(im->h) * im->w * 3);
-  std::vector<png_bytep> rows(im->h);
+  rows.resize(im->h);
   size_t stride = png_get_rowbytes(png, info);
   if (stride != size_t(im->w) * 3) {  // unexpected layout after transforms
     png_destroy_read_struct(&png, &info, nullptr);

@@ -5,8 +5,11 @@ antialiasing used by the SR preprocessing heritage; README.md:17 notes LR
 inputs are bicubic-pre-upscaled). Implemented from the MATLAB algorithm
 definition, not transcribed: for each output coordinate u, sample positions
 x = (u + 0.5) / scale - 0.5 (0-based), kernel support widened by 1/scale when
-downscaling (antialiasing), weights normalized to sum 1, indices clamped
-(replicated edges).
+downscaling (antialiasing), weights normalized to sum 1. Boundary taps follow
+the REFERENCE's semantics, not MATLAB's replicate-clamp: out-of-range taps
+mirror back into the image (see the boundary comment in _contributions,
+reference util/imresize.py:113-126); integer inputs round half away from
+zero and saturate (MATLAB semantics).
 
 Kernels: 'cubic' (Keys a=-0.5, MATLAB's bicubic), 'linear', 'box',
 'lanczos2', 'lanczos3'.
@@ -102,7 +105,6 @@ def imresize(img: np.ndarray, scale: float = None, output_shape=None,
         out_h, out_w = output_shape
         scale_h, scale_w = out_h / in_h, out_w / in_w
 
-    was_uint8 = img.dtype == np.uint8
     x = img.astype(np.float64)
     squeeze = x.ndim == 2
     if squeeze:
@@ -120,8 +122,14 @@ def imresize(img: np.ndarray, scale: float = None, output_shape=None,
 
     if squeeze:
         x = x[:, :, 0]
-    if was_uint8:
-        return np.clip(np.round(x), 0, 255).astype(np.uint8)
+    if np.issubdtype(img.dtype, np.integer):
+        # MATLAB rounds HALF AWAY FROM ZERO (np.round is banker's: 126.5
+        # -> 126, MATLAB -> 127) and saturates for every integer type —
+        # without the clip, cubic ringing near edges would wrap (a small
+        # negative becomes ~65535 in uint16).
+        info = np.iinfo(img.dtype)
+        rounded = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        return np.clip(rounded, info.min, info.max).astype(img.dtype)
     return x.astype(img.dtype)
 
 

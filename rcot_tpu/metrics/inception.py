@@ -246,9 +246,14 @@ def _block_e(params, prefix, x, *, max_pool_branch: bool):
 
 def _resize_bilinear_299(x: jax.Array) -> jax.Array:
     """torch F.interpolate(size=299, mode='bilinear', align_corners=False)
-    == jax.image.resize 'linear' (half-pixel centers)."""
+    == jax.image.resize 'linear' with antialias=False (half-pixel centers).
+    antialias matters: torch does NOT antialias, and jax's default does on
+    DOWNSCALE — measured max pixel diff 0.57 on [0,1] inputs for a 512->299
+    resize (1.8e-7 without), which would make >299px FID features
+    incomparable to pytorch-fid's."""
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, 299, 299, c), method="linear")
+    return jax.image.resize(x, (b, 299, 299, c), method="linear",
+                            antialias=False)
 
 
 def inception_pool3(params: Dict, x: jax.Array, *, resize_input: bool = True,

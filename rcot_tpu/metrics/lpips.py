@@ -22,6 +22,7 @@ independent PyTorch implementation on shared weights.
 
 from __future__ import annotations
 
+import functools
 import os
 import warnings
 import zlib
@@ -117,9 +118,16 @@ def lpips(params: Dict, x: jax.Array, y: jax.Array) -> jax.Array:
     return total
 
 
+@functools.lru_cache(maxsize=4)
+def _cached_lpips_fn(weights: Optional[str]):
+    """One (params, jitted fn) per weights path: a fresh closure per call
+    would recompile the AlexNet forward (and re-read the npz) every pair."""
+    params = init_lpips_params(weights)
+    return jax.jit(lambda a, b: lpips(params, a, b))
+
+
 def lpips_pair(x: np.ndarray, y: np.ndarray,
                weights: Optional[str] = None) -> float:
     """Convenience: single image pair (H,W,3) in [0,1] -> float."""
-    params = init_lpips_params(weights)
-    return float(jax.jit(lambda a, b: lpips(params, a, b))(
-        jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
+    fn = _cached_lpips_fn(weights)
+    return float(fn(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])

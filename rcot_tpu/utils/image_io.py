@@ -38,6 +38,8 @@ def save_image(path: str, images: np.ndarray, *, nrow: int = 8,
     if arr.ndim == 3:
         arr = arr[None]
     b, h, w, c = arr.shape
+    if b == 0:
+        raise ValueError(f"save_image({path!r}): empty batch")
     ncol = min(nrow, b)
     nrows = math.ceil(b / ncol)
     grid = np.zeros((nrows * (h + padding) + padding,
@@ -52,7 +54,10 @@ def save_image(path: str, images: np.ndarray, *, nrow: int = 8,
 
 def prepare_gt_img(img: np.ndarray, d: int = 10) -> np.ndarray:
     """SOTS GT border crop (reference: util/image_io.py:20-37): outdoor SOTS
-    ground truths carry a d-pixel border the hazy inputs don't."""
+    ground truths carry a d-pixel border the hazy inputs don't.
+    d=0 is the identity (img[0:-0] would be an empty slice)."""
+    if d == 0:
+        return img
     return img[d:-d, d:-d, :]
 
 

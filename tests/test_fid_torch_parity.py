@@ -168,6 +168,20 @@ def test_pool3_activations_match_torch_twin():
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_pool3_matches_torch_twin_on_downscale_inputs():
+    """Inputs LARGER than 299px exercise the resize's DOWNSCALE path, where
+    jax.image.resize's default antialias diverges from torch F.interpolate
+    (measured max pixel diff 0.57 on [0,1] inputs) — the 64px case above
+    only upscales and cannot catch an antialias regression."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 320, 320, 3)).astype(np.float32)
+    ours = _jax_pool3(x)
+    theirs = TorchFIDInception().pool3(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
+
+
 def _write_folder(tmpdir, name, imgs):
     from PIL import Image
     d = os.path.join(tmpdir, name)
