@@ -12,38 +12,53 @@ normalization.
 from __future__ import annotations
 
 import argparse
+import functools
 from typing import Optional
 
 import numpy as np
 
 
 def _load_and_preprocess(path: str, size: int = 256) -> np.ndarray:
-    """PIL Resize(size) (shorter side, bilinear) + CenterCrop(size) + /255."""
+    """torchvision Resize(size) + CenterCrop(size) + ToTensor, exactly
+    (the reference pipeline, fid_score.py:120-124): the long side is
+    int(size * long / short) — TRUNCATION, not round (640x427 -> 383, not
+    384) — and the crop offset is int(round(diff / 2.0)), which differs
+    from diff // 2 by 1px when diff is 3 mod 4."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
     if w < h:
-        nw, nh = size, max(size, round(size * h / w))
+        nw, nh = size, max(size, int(size * h / w))
     else:
-        nh, nw = size, max(size, round(size * w / h))
+        nh, nw = size, max(size, int(size * w / h))
     img = img.resize((nw, nh), Image.BILINEAR)
-    left = (nw - size) // 2
-    top = (nh - size) // 2
+    left = int(round((nw - size) / 2.0))
+    top = int(round((nh - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
     return np.asarray(img, np.float32) / 255.0
 
 
-def folder_activations(folder: str, *, batch_size: int = 50,
-                       weights: Optional[str] = None) -> np.ndarray:
+@functools.lru_cache(maxsize=2)
+def _cached_feat_fn(weights: Optional[str]):
+    """One (params, jitted fn) per weights path — folder_activations runs
+    once per folder and would otherwise reload weights and re-trace per
+    call (compute_fid_folders makes two)."""
     import jax
-    import jax.numpy as jnp
 
-    from ..data.datasets import list_image_folder
     from ..metrics.inception import inception_pool3, init_inception_params
 
     params = init_inception_params(weights)
-    feat_fn = jax.jit(lambda x: inception_pool3(params, x))
+    return jax.jit(lambda x: inception_pool3(params, x))
+
+
+def folder_activations(folder: str, *, batch_size: int = 50,
+                       weights: Optional[str] = None) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from ..data.datasets import list_image_folder
+
+    feat_fn = _cached_feat_fn(weights)
 
     files = list_image_folder(folder)
     if not files:

@@ -50,8 +50,17 @@ def available() -> bool:
     return _load() is not None
 
 
-def image_size(path: str) -> Tuple[int, int]:
+def _require() -> ctypes.CDLL:
     lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native patch loader unavailable — build it with native/build.sh "
+            "(callers should gate on native.available() and fall back to PIL)")
+    return lib
+
+
+def image_size(path: str) -> Tuple[int, int]:
+    lib = _require()
     h = ctypes.c_int()
     w = ctypes.c_int()
     if lib.rcot_image_size(path.encode(), ctypes.byref(h), ctypes.byref(w)):
@@ -60,7 +69,7 @@ def image_size(path: str) -> Tuple[int, int]:
 
 
 def decode_rgb(path: str) -> np.ndarray:
-    lib = _load()
+    lib = _require()
     h, w = image_size(path)
     out = np.empty((h, w, 3), np.uint8)
     rc = lib.rcot_decode_rgb(
@@ -74,7 +83,7 @@ def load_patches(paths: Sequence[str], ys: Sequence[int], xs: Sequence[int],
                  patch_size: int, *, nthreads: int = 8) -> np.ndarray:
     """Decode len(paths) images and crop (patch_size)^2 RGB patches at
     (ys[i], xs[i]); returns (N, ps, ps, 3) uint8."""
-    lib = _load()
+    lib = _require()
     n = len(paths)
     out = np.empty((n, patch_size, patch_size, 3), np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])

@@ -104,7 +104,10 @@ def mdta_qkv(p: dict, x: jax.Array) -> jax.Array:
                                 interpret=dispatch.pallas_interpret())
     if dispatch.ablate("dwconv"):
         return conv2d(p["qkv"], x)  # measurement-only (ops/dispatch.py)
-    if dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+    if (dispatch.pallas_enabled() and dispatch.pallas_dwconv_on()
+            and "b" not in p["qkv_dw"]):
+        # the kernel is bias-free (pallas_dwconv.py) — with bias=True models
+        # fall through to the conv path rather than silently dropping it
         from .pallas_dwconv import dwconv3x3_pallas
         return dwconv3x3_pallas(conv2d(p["qkv"], x),
                                 p["qkv_dw"]["w"][:, :, 0, :],

@@ -60,7 +60,10 @@ def gdfn(p: dict, x: jax.Array) -> jax.Array:
     h = conv2d(p["proj_in"], x)
     if dispatch.ablate("dwconv"):
         pass  # measurement-only: attribute the dwconv's in-model cost
-    elif dispatch.pallas_enabled() and dispatch.pallas_dwconv_on():
+    elif (dispatch.pallas_enabled() and dispatch.pallas_dwconv_on()
+            and "b" not in p["dw"]):
+        # bias-free kernel — bias=True models take the conv path instead of
+        # silently dropping the depthwise bias (see ops/attention.py twin)
         from .pallas_dwconv import dwconv3x3_pallas
         h = dwconv3x3_pallas(h, p["dw"]["w"][:, :, 0, :],
                              dispatch.pallas_interpret())

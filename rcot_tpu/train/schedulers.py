@@ -27,15 +27,23 @@ Schedule = Callable[[int], float]
 def multistep_restart(milestones: Sequence[int], gamma: float = 0.1,
                       restarts: Sequence[int] = (0,),
                       restart_weights: Sequence[float] = (1.0,)) -> Schedule:
-    """reference: util/schedulers.py:11-51."""
+    """reference: util/schedulers.py:11-51 (stateful torch scheduler): a
+    restart SETS lr = initial * weight and that base persists; milestones
+    after the last restart each multiply gamma on. The pure-function
+    equivalent: weight of the last restart <= step, times gamma^(milestones
+    strictly after that restart, up to step). (A previous version returned
+    the restart weight only AT the restart step — wrong for every step
+    after it.)"""
     assert len(restarts) == len(restart_weights)
     milestones = sorted(milestones)
 
     def fn(step: int) -> float:
-        if step in restarts:
-            return restart_weights[list(restarts).index(step)]
-        count = sum(1 for m in milestones if m <= step)
-        return gamma ** count
+        w, last_r = 1.0, -1
+        for r, rw in zip(restarts, restart_weights):
+            if r <= step:
+                w, last_r = rw, r
+        count = sum(1 for m in milestones if last_r < m <= step)
+        return w * gamma ** count
 
     return fn
 
@@ -72,6 +80,15 @@ def _period_index(step: int, cumulative: Sequence[int]) -> int:
     return len(cumulative) - 1
 
 
+def _clamp_past_end(step: int, cumulative: Sequence[int]) -> int:
+    """Steps past sum(periods) hold at the final eta_min instead of riding
+    the cosine back up (the un-clamped argument exceeds pi and the LR
+    silently RESURGES to full base_lr at 2x the schedule length). The
+    reference raises ValueError there (BasicSR get_position_from_periods);
+    holding the floor is the graceful pure-function equivalent."""
+    return min(step, cumulative[-1])
+
+
 def cosine_annealing_restart(periods: Sequence[int],
                              restart_weights: Sequence[float] = (1.0,),
                              eta_min: float = 0.0,
@@ -82,6 +99,7 @@ def cosine_annealing_restart(periods: Sequence[int],
     cumulative = [sum(periods[:i + 1]) for i in range(len(periods))]
 
     def fn(step: int) -> float:
+        step = _clamp_past_end(step, cumulative)
         idx = _period_index(step, cumulative)
         w = restart_weights[idx]
         nearest = 0 if idx == 0 else cumulative[idx - 1]
@@ -101,6 +119,7 @@ def cosine_annealing_restart_cyclic(periods: Sequence[int],
     cumulative = [sum(periods[:i + 1]) for i in range(len(periods))]
 
     def fn(step: int) -> float:
+        step = _clamp_past_end(step, cumulative)
         idx = _period_index(step, cumulative)
         w = restart_weights[idx]
         eta_min = eta_mins[idx]

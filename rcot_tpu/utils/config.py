@@ -35,9 +35,6 @@ DE_DICT_COMBINE: Dict[str, int] = {
     "deblur": 3,
     "lowlight": 4,
 }
-NOISE_SIGMAS: Dict[int, float] = {0: 15.0, 1: 25.0, 2: 50.0}
-
-
 @dataclass(frozen=True)
 class ModelConfig:
     """RCOT two-pass Restormer transport map (reference: Net_Restormer.py:215-434)."""
@@ -113,7 +110,6 @@ class DataConfig:
     single_dir: str = "data/Train/Single/"
     patch_size: int = 128
     crop_base: int = 16  # images pre-cropped to multiples of this (dataset_utils.py:226)
-    noise_combine: bool = False
     # Oversampling factors (reference: util/dataset_utils.py:89-161).
     oversample: Dict[str, int] = field(
         default_factory=lambda: {
@@ -222,7 +218,8 @@ PRESETS: Dict[str, Config] = {
         ("denoise_15", "denoise_25", "denoise_50", "derain", "dehaze"), "AllInOne"
     ),
     # SRx4: 'single'-type training on bicubic-degraded HR patches
-    # (BASELINE.json config #5; data/sr.py synthesizes the LR inputs).
+    # (BASELINE.json config #5; tools/make_sr_folder.py builds the
+    # bicubic-degraded 'single' folder offline via data/sr.py sr_degrade).
     "sr_x4": _recipe(("single",), "SRx4"),
     # deblur (GoPro-style blur/sharp folders) and lowlight (LOL-style
     # low/high folders) — de_ids 5 and 6 (util/dataset_utils.py:40).

@@ -54,6 +54,35 @@ class TestSchedulers:
         assert fn(10) == pytest.approx(0.1)
         assert fn(25) == pytest.approx(0.01)
 
+    def test_multistep_restart_weight_persists(self):
+        """The reference scheduler SETS lr = initial*weight at a restart and
+        that base persists; milestones after the restart multiply gamma on
+        (a previous version applied the weight only AT the restart step)."""
+        fn = sched.multistep_restart([30], gamma=0.1,
+                                     restarts=(0, 25), restart_weights=(1.0, 0.5))
+        assert fn(10) == pytest.approx(1.0)
+        assert fn(25) == pytest.approx(0.5)   # restart
+        assert fn(27) == pytest.approx(0.5)   # persists
+        assert fn(35) == pytest.approx(0.05)  # milestone decays off 0.5
+        # milestones BEFORE the restart don't leak through it
+        fn2 = sched.multistep_restart([10], gamma=0.1,
+                                      restarts=(0, 20), restart_weights=(1.0, 0.5))
+        assert fn2(15) == pytest.approx(0.1)
+        assert fn2(25) == pytest.approx(0.5)
+
+    def test_cosine_restart_holds_floor_past_schedule_end(self):
+        """Past sum(periods) the LR holds at the final value instead of
+        riding the cosine back up (it silently resurged to full base_lr at
+        2x the schedule length; the reference raises there)."""
+        fn = sched.cosine_annealing_restart([10], (1.0,), eta_min=0.01,
+                                            base_lr=1.0)
+        assert fn(10) == pytest.approx(0.01)
+        assert fn(15) == pytest.approx(0.01)   # was rising again
+        assert fn(20) == pytest.approx(0.01)   # was back at base_lr
+        fnc = sched.cosine_annealing_restart_cyclic(
+            [10], (1.0,), eta_mins=(0.02,), base_lr=1.0)
+        assert fnc(25) == pytest.approx(0.02)
+
     def test_linear(self):
         fn = sched.linear(100)
         assert fn(0) == 1.0
