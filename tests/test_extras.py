@@ -46,6 +46,25 @@ class TestImresize:
         img = rng.uniform(size=(20, 30, 3))
         assert np_imresize(img, output_shape=(10, 10)).shape == (10, 10, 3)
 
+    def test_matches_reference_goldens(self):
+        """Pins our re-derived imresize against captured outputs of the
+        reference's util/imresize.py (tools/make_imresize_golden.py):
+        exact zero for cubic/linear/box, ~7e-8 for lanczos (float
+        accumulation order)."""
+        z = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                 "imresize_golden.npz"))
+        names = sorted({k.rsplit("__", 1)[0] for k in z.files})
+        assert len(names) == 8
+        for n in names:
+            scale, oh, ow = z[f"{n}__meta"]
+            got = imresize(
+                z[f"{n}__in"],
+                scale=None if scale < 0 else float(scale),
+                output_shape=None if oh < 0 else (int(oh), int(ow)),
+                kernel=bytes(z[f"{n}__kernel"]).decode())
+            np.testing.assert_allclose(got, z[f"{n}__out"], rtol=0,
+                                       atol=1e-7, err_msg=n)
+
 
 class TestSchedulers:
     def test_multistep_restart(self):
