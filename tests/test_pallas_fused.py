@@ -219,3 +219,39 @@ class TestBwdBandBudget:
         for a, b in zip(g_ref, g_fus):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestCrashingLanePad:
+    def test_m144_pad_exact_fwd_and_grads(self):
+        """m=144 is the parity model's own level-1 qkv width (3*dim=144) and
+        the one channel count whose backward crashes the remote compiler —
+        conv1x1_dw_fused zero-pads it to 192 (_M_PAD) and slices back.
+        Padded lanes carry zero weights and receive zero cotangents, so
+        results must be EXACT vs the unpadded jnp reference."""
+        from rcot_tpu.ops.pallas_fused import pad_crashing_m
+        rng = np.random.default_rng(7)
+        x = _rand(rng, 1, 8, 8, 48)
+        w_in = _rand(rng, 48, 144)
+        dwk = _rand(rng, 3, 3, 144)
+
+        w_pad, dw_pad, m = pad_crashing_m(w_in, dwk)
+        assert (m, w_pad.shape[1], dw_pad.shape[2]) == (144, 192, 192)
+
+        from rcot_tpu.ops.pallas_fused import conv1x1_dw_fused
+
+        def ref(x, w_in, dwk):
+            h = jnp.einsum("bhwc,cm->bhwm", x, w_in)
+            return jnp.sum(_ref_dw(h, dwk) ** 2)
+
+        def fused(x, w_in, dwk):
+            return jnp.sum(conv1x1_dw_fused(x, w_in, dwk, interpret=True) ** 2)
+
+        out_f = conv1x1_dw_fused(x, w_in, dwk, interpret=True)
+        h = jnp.einsum("bhwc,cm->bhwm", x, w_in)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(_ref_dw(h, dwk)),
+                                   rtol=2e-5, atol=2e-5)
+        g_ref = jax.grad(ref, argnums=(0, 1, 2))(x, w_in, dwk)
+        g_fus = jax.grad(fused, argnums=(0, 1, 2))(x, w_in, dwk)
+        for a, b in zip(g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
