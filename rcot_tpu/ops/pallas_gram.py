@@ -252,8 +252,58 @@ def _glue(gram, nq, nk, temperature):
 def mdta_core_gram(temperature: jax.Array, qkv: jax.Array, num_heads: int,
                    *, interpret: bool = False) -> jax.Array:
     """Keyword-friendly wrapper: custom_vjp functions take positional args
-    only (nondiff_argnums are positional indices)."""
+    only (nondiff_argnums are positional indices).
+
+    RCOT_GRAM_COMBINED=0 restores the split per-op VJP structure (each
+    kernel's dqkv assembled with XLA-level zero thirds and summed by
+    autodiff — the program shape the 0.0986 s/iter record was measured on,
+    modulo in-kernel vs XLA zeros). Escape hatch in case the combined
+    backward's program shape trips the remote compile helper on-chip."""
+    import os
+    if os.environ.get("RCOT_GRAM_COMBINED", "1") in ("", "0"):
+        gram, nq, nk = _gram_op(qkv, num_heads, interpret)
+        return _apply_op(qkv, _glue(gram, nq, nk, temperature), interpret)
     return _mdta_core(temperature, qkv, num_heads, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _gram_op(qkv, num_heads, interpret=False):
+    return mdta_gram_fwd(qkv, num_heads, interpret=interpret)
+
+
+def _gram_op_fwd(qkv, num_heads, interpret):
+    return mdta_gram_fwd(qkv, num_heads, interpret=interpret), qkv
+
+
+def _gram_op_bwd(num_heads, interpret, qkv, gs):
+    dgram, dnq, dnk = gs
+    dqdk = mdta_gram_bwd(qkv, dgram, dnq, dnk, num_heads,
+                         interpret=interpret)
+    zeros_v = jnp.zeros(qkv.shape[:-1] + (qkv.shape[-1] // 3,), qkv.dtype)
+    return (jnp.concatenate([dqdk, zeros_v], axis=-1),)
+
+
+_gram_op.defvjp(_gram_op_fwd, _gram_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _apply_op(qkv, attn, interpret=False):
+    return attn_apply_fwd(qkv, attn, interpret=interpret)
+
+
+def _apply_op_fwd(qkv, attn, interpret):
+    return attn_apply_fwd(qkv, attn, interpret=interpret), (qkv, attn)
+
+
+def _apply_op_bwd(interpret, res, g):
+    qkv, attn = res
+    dv, dattn = attn_apply_bwd(qkv, attn, g, interpret=interpret)
+    zeros_qk = jnp.zeros(qkv.shape[:-1] + (2 * (qkv.shape[-1] // 3),),
+                         qkv.dtype)
+    return jnp.concatenate([zeros_qk, dv], axis=-1), dattn.astype(attn.dtype)
+
+
+_apply_op.defvjp(_apply_op_fwd, _apply_op_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -111,3 +111,27 @@ def test_block_mode_resolution(monkeypatch):
     monkeypatch.setenv("RCOT_PALLAS_BLOCK", "1")
     assert dispatch.block_mode() == "full"
     assert dispatch.pallas_block_on()
+
+
+def test_combined_and_split_bwd_structures_agree(rng, monkeypatch):
+    """RCOT_GRAM_COMBINED=0 (the split per-op VJP escape hatch for the
+    remote-compiler wall) must produce identical outputs and gradients to
+    the combined-VJP default."""
+    heads, c = 2, 16
+    qkv = jnp.asarray(rng.normal(size=(1, 8, 8, 3 * c)), jnp.float32)
+    temp = jnp.asarray(rng.normal(1.0, 0.2, (heads, 1, 1)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(1, 8, 8, c)), jnp.float32)
+
+    def grads():
+        return jax.grad(lambda t, q: jnp.sum(
+            mdta_core_gram(t, q, heads, interpret=True) * cot),
+            argnums=(0, 1))(temp, qkv)
+
+    out_comb = mdta_core_gram(temp, qkv, heads, interpret=True)
+    g_comb = grads()
+    monkeypatch.setenv("RCOT_GRAM_COMBINED", "0")
+    out_split = mdta_core_gram(temp, qkv, heads, interpret=True)
+    g_split = grads()
+    np.testing.assert_allclose(out_split, out_comb, rtol=1e-6, atol=1e-6)
+    for a, b in zip(g_comb, g_split):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
