@@ -52,8 +52,7 @@ def _composition():
     if dispatch.pallas_fused_on():
         parts.append("fused")
     if dispatch.pallas_gram_on():
-        split = os.environ.get("RCOT_GRAM_COMBINED", "1") in ("", "0")
-        parts.append("gram-split" if split else "gram")
+        parts.append("gram" if dispatch.gram_combined_on() else "gram-split")
     if dispatch.pallas_block_on():
         parts.append(f"block-{dispatch.block_mode()}")
     return "+".join(parts) or "xla-only"

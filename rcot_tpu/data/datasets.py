@@ -155,6 +155,11 @@ def get_patch_pair(sample: Sample, patch_size: int, crop_base: int,
     clean = crop_to_base(load_rgb(sample.clean_path), crop_base)
     h, w = degraded.shape[:2]
     _check_patchable(sample.degraded_path, h, w, patch_size, crop_base)
+    # the shared (i, j) indexes BOTH frames, so the clean image must fit
+    # the patch too (a mis-paired/corrupt GT otherwise surfaces as an
+    # anonymous np.stack shape error from a worker thread)
+    _check_patchable(sample.clean_path, *clean.shape[:2], patch_size,
+                     crop_base)
     i = rng.randint(0, h - patch_size)
     j = rng.randint(0, w - patch_size)
     return (degraded[i:i + patch_size, j:j + patch_size],

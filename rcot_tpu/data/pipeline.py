@@ -123,6 +123,8 @@ class TrainLoader:
                     # i,j) — using the degraded offsets here diverged from
                     # the PIL path whenever a pair's sizes differ
                     ch, cw = self._dims(s.clean_path)
+                    _check_patchable(s.clean_path, ch - ch % base,
+                                     cw - cw % base, ps, base)
                     ctop, cleft = (ch % base) // 2, (cw % base) // 2
                     paths.extend([s.degraded_path, s.clean_path])
                     ys.extend([top + i, ctop + i])

@@ -106,6 +106,15 @@ def pallas_gram_on() -> bool:
     return os.environ.get("RCOT_PALLAS_GRAM", "1") not in ("", "0")
 
 
+def gram_combined_on() -> bool:
+    """Combined single-VJP gram backward (apply-bwd emits only dv, gram-bwd
+    only [dq|dk], one concatenate) vs the split per-op VJP structure
+    (RCOT_GRAM_COMBINED=0 — the escape hatch if the combined program shape
+    trips the remote compile helper; ops/pallas_gram.py). The ONE reader —
+    bench._composition and mdta_core_gram both resolve through here."""
+    return os.environ.get("RCOT_GRAM_COMBINED", "1") not in ("", "0")
+
+
 def any_ablate() -> bool:
     return bool(os.environ.get("RCOT_ABLATE"))
 

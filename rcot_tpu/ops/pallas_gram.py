@@ -259,8 +259,8 @@ def mdta_core_gram(temperature: jax.Array, qkv: jax.Array, num_heads: int,
     autodiff — the program shape the 0.0986 s/iter record was measured on,
     modulo in-kernel vs XLA zeros). Escape hatch in case the combined
     backward's program shape trips the remote compile helper on-chip."""
-    import os
-    if os.environ.get("RCOT_GRAM_COMBINED", "1") in ("", "0"):
+    from .dispatch import gram_combined_on
+    if not gram_combined_on():
         gram, nq, nk = _gram_op(qkv, num_heads, interpret)
         return _apply_op(qkv, _glue(gram, nq, nk, temperature), interpret)
     return _mdta_core(temperature, qkv, num_heads, interpret)

@@ -36,10 +36,13 @@ def multistep_restart(milestones: Sequence[int], gamma: float = 0.1,
     after it.)"""
     assert len(restarts) == len(restart_weights)
     milestones = sorted(milestones)
+    # sort the (restart, weight) pairs: "last restart <= step" must mean
+    # largest, not last-listed (milestones above get the same treatment)
+    pairs = sorted(zip(restarts, restart_weights))
 
     def fn(step: int) -> float:
         w, last_r = 1.0, -1
-        for r, rw in zip(restarts, restart_weights):
+        for r, rw in pairs:
             if r <= step:
                 w, last_r = rw, r
         count = sum(1 for m in milestones if last_r < m <= step)

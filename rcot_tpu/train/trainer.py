@@ -330,9 +330,14 @@ class Trainer:
     def fit(self, *, eval_degset: Optional[str] = None,
             eval_tarset: Optional[str] = None,
             profile_dir: Optional[str] = None) -> TrainState:
-        # Fail fast on a bad validation path: evaluate_folder runs AFTER each
-        # epoch but BEFORE its checkpoint, so a typo'd folder would otherwise
-        # surface only after a full epoch of training — and lose it.
+        # Fail fast on a bad validation setup: evaluate_folder runs AFTER
+        # each epoch but BEFORE its checkpoint, so a typo'd folder (or a
+        # forgotten --tarset) would otherwise surface only after a full
+        # epoch of training — and lose it.
+        if (eval_degset is None) != (eval_tarset is None):
+            raise ValueError(
+                "eval_degset and eval_tarset must be given together "
+                f"(got degset={eval_degset!r}, tarset={eval_tarset!r})")
         for name, path in (("eval_degset", eval_degset),
                            ("eval_tarset", eval_tarset)):
             if path and not os.path.isdir(path):

@@ -254,6 +254,12 @@ class TestIndexDeterminism:
         _write_img(small, h=24, w=24)
         with pytest.raises(ValueError, match="small.png"):
             get_patch_pair(Sample(small, small, 0), 32, 16, random.Random(0))
+        # paired samples share (i, j) across both frames: a too-small CLEAN
+        # image must name itself too, not die as an anonymous stack error
+        big = str(tmp_path / "big.png")
+        _write_img(big, h=64, w=64)
+        with pytest.raises(ValueError, match="small.png"):
+            get_patch_pair(Sample(big, small, 3), 32, 16, random.Random(0))
 
 
 class TestDevicePrefetch:

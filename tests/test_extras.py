@@ -88,6 +88,10 @@ class TestSchedulers:
                                       restarts=(0, 20), restart_weights=(1.0, 0.5))
         assert fn2(15) == pytest.approx(0.1)
         assert fn2(25) == pytest.approx(0.5)
+        # restart order must not matter ("last restart" = largest <= step)
+        fn3 = sched.multistep_restart([30], gamma=0.1,
+                                      restarts=(25, 0), restart_weights=(0.5, 1.0))
+        assert fn3(26) == pytest.approx(0.5)
 
     def test_cosine_restart_holds_floor_past_schedule_end(self):
         """Past sum(periods) the LR holds at the final value instead of

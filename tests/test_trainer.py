@@ -71,6 +71,11 @@ class TestTrainerLoop:
             tr.fit(eval_degset=f"{data_tree}/Derain/rainy",
                    eval_tarset=str(tmp_path / "no_such_dir"))
         assert tr.host_step == 0  # nothing trained
+        # a forgotten --tarset (degset alone) is the same epoch-losing
+        # failure and must also fail before training
+        with pytest.raises(ValueError, match="together"):
+            tr.fit(eval_degset=f"{data_tree}/Derain/rainy")
+        assert tr.host_step == 0
 
     @pytest.mark.slow
     def test_recovery_cycle(self, data_tree, tmp_path):
