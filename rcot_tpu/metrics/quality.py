@@ -32,13 +32,23 @@ def psnr_peak_max(pred: jax.Array, target: jax.Array,
                   shave_border: int = 0) -> jax.Array:
     """The reference's data-dependent-peak PSNR variant (evaluate.py:42-51):
     20*log10(pred.max() / rmse) with optional border shave. Kept for parity
-    with scripts that used it; prefer `psnr` for comparable numbers."""
+    with scripts that used it; prefer `psnr` for comparable numbers.
+    The shave is axis-aware (H, W = the leading two of the LAST three dims),
+    so batched (B,H,W,C) inputs shave the image, not the batch; identical
+    images return the 100 dB cap instead of inf (an inf poisons any
+    averaged metric and is invalid strict JSON)."""
     if shave_border:
-        pred = pred[shave_border:-shave_border, shave_border:-shave_border]
-        target = target[shave_border:-shave_border, shave_border:-shave_border]
+        s = shave_border
+        hw = pred.ndim - 3 if pred.ndim >= 3 else 0  # index of the H axis
+        sl = [slice(None)] * pred.ndim
+        sl[hw] = slice(s, -s)
+        sl[hw + 1] = slice(s, -s)
+        pred = pred[tuple(sl)]
+        target = target[tuple(sl)]
     rmse = jnp.sqrt(jnp.mean(jnp.square(
         pred.astype(jnp.float32) - target.astype(jnp.float32))))
-    return 20.0 * jnp.log10(jnp.max(pred) / rmse)
+    return jnp.where(rmse == 0, jnp.float32(100.0),
+                     20.0 * jnp.log10(jnp.max(pred) / rmse))
 
 
 def _gaussian_kernel_cv2(ksize: int, sigma: float) -> np.ndarray:

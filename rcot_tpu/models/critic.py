@@ -55,11 +55,24 @@ def init_fnet(key, cfg: CriticConfig, dtype=jnp.float32) -> Dict:
                                  weight_std=0.02, dtype=dtype))
     p: Dict = {"convs": convs}
     if cfg.head == "flatten":
+        if cfg.patch_size % 32:
+            # the reference formula num_fea = patch^2/2 equals the conv
+            # stack's true 512*(patch/32)^2 output ONLY at multiples of 32;
+            # anywhere else init would silently build a mis-sized fc and
+            # the first forward dies with an opaque dot_general error
+            raise ValueError(
+                f"flatten critic head requires patch_size % 32 == 0 "
+                f"(got {cfg.patch_size}); use head='pooled' for arbitrary "
+                "sizes (SURVEY.md §2.2 #13)")
         num_fea = cfg.patch_size * cfg.patch_size // 2
         mid = cfg.fc_mid if cfg.fc_mid is not None else num_fea // 4
         p["fc"] = init_linear(next(ks), num_fea, mid, dtype=dtype)
         p["fc1"] = init_linear(next(ks), mid, 64, dtype=dtype)
     elif cfg.head == "pooled":
+        if cfg.fc_mid is not None:
+            raise ValueError(
+                "fc_mid only applies to the flatten head (the pooled head's "
+                "mid width is fixed at 128); remove it or use head='flatten'")
         p["fc"] = init_linear(next(ks), 512, 128, dtype=dtype)
         p["fc1"] = init_linear(next(ks), 128, 64, dtype=dtype)
     else:
@@ -81,8 +94,10 @@ def apply_fnet(p: Dict, x: jax.Array, cfg: CriticConfig) -> jax.Array:
         h = _leaky(conv2d(params, h, stride=s, padding=pad))
     if cfg.head == "flatten":
         feat = h.reshape(h.shape[0], -1)
-    else:
+    elif cfg.head == "pooled":
         feat = jnp.mean(h, axis=(1, 2))
+    else:  # mirror init_fnet: a typo'd head (e.g. from checkpoint metadata)
+        raise ValueError(f"unknown critic head {cfg.head!r}")
     out = linear(p["fc1"], linear(p["fc"], feat))
     out = linear(p["fc2"], _leaky(out))
     return out[:, 0]

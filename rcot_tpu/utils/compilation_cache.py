@@ -1,8 +1,10 @@
 """Persistent XLA compilation cache.
 
 The full minimax program takes minutes to compile; caching it on disk makes
-every process after the first start in seconds. Called by the CLIs and
-bench.py (never by the library on import — tests manage their own config).
+every process after the first start in seconds. Called by the CLIs,
+bench.py, the Trainer constructor, and tests' conftest — but never on
+IMPORT: enabling is always an explicit call, idempotent, so no module
+import mutates jax global config as a side effect.
 """
 
 from __future__ import annotations

@@ -95,3 +95,19 @@ class TestAverageMeter:
         m.update(1.0)
         m.update(2.0, n=3)
         assert m.avg == pytest.approx(7.0 / 4.0)
+
+
+class TestPeakMaxEdges:
+    def test_batched_shave_and_identical_cap(self):
+        """shave_border must cut H/W (not the batch axis) on (B,H,W,C)
+        inputs, and identical images return the 100 dB cap, not inf."""
+        import jax.numpy as jnp
+
+        from rcot_tpu.metrics.quality import psnr_peak_max
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(size=(2, 16, 16, 3)), jnp.float32)
+        b = jnp.asarray(rng.uniform(size=(2, 16, 16, 3)), jnp.float32)
+        v = float(psnr_peak_max(a, b, shave_border=2))
+        assert np.isfinite(v)
+        assert float(psnr_peak_max(a, a)) == 100.0

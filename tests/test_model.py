@@ -116,3 +116,17 @@ class TestCritic:
             p = jax.eval_shape(
                 lambda k, cfg=cfg: init_fnet(k, cfg), jax.random.PRNGKey(0))
             assert p["fc"]["w"].shape[0] == patch * patch // 2
+
+
+class TestCriticGuards:
+    def test_flatten_head_requires_mod32_patch(self):
+        import jax
+
+        from rcot_tpu.models.critic import init_fnet
+        from rcot_tpu.utils.config import CriticConfig
+
+        with pytest.raises(ValueError, match="32"):
+            init_fnet(jax.random.PRNGKey(0), CriticConfig(patch_size=100))
+        with pytest.raises(ValueError, match="fc_mid"):
+            init_fnet(jax.random.PRNGKey(0),
+                      CriticConfig(head="pooled", fc_mid=2048))
