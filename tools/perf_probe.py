@@ -41,7 +41,7 @@ def emit(rec):
     if dispatch.pallas_enabled() and dispatch.pallas_block_on():
         rec["block"] = dispatch.block_mode()
     if dispatch.pallas_enabled() and dispatch.pallas_gram_on():
-        rec["gram"] = True
+        rec["gram"] = "combined" if dispatch.gram_combined_on() else "split"
     for env in ("RCOT_TAIL_VMEM_MB", "RCOT_HEAD_VMEM_MB", "RCOT_GRAM_VMEM_MB"):
         if os.environ.get(env):
             rec[env.removeprefix("RCOT_").lower()] = os.environ[env]
