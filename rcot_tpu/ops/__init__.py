@@ -13,8 +13,10 @@ from .resample import (
     upsample,
 )
 from .fourier import fourier_residual_penalty, residual_rmse
+from .edges import edge_map
 
 __all__ = [
+    "edge_map",
     "conv2d", "init_conv2d", "init_linear", "linear",
     "init_layernorm", "layernorm",
     "init_mdta", "mdta", "mdta_attend",

@@ -323,3 +323,43 @@ class TestMetricsLogger:
             t.stop(n)
         assert t.items == 10
         assert t.items_per_sec() == pytest.approx(10 / t.total)
+
+
+class TestEdgeMap:
+    """ops/edges.py vs the reference EdgeComputation math
+    (reference: util/image_utils.py:14-45)."""
+
+    def _torch_oracle(self, x_nchw):
+        """Reference EdgeComputation(test=True) math, re-stated in torch."""
+        import torch
+
+        x = torch.from_numpy(x_nchw)
+        dx = torch.abs(x[:, :, :, 1:] - x[:, :, :, :-1])
+        dy = torch.abs(x[:, :, 1:, :] - x[:, :, :-1, :])
+        y = torch.zeros_like(x)
+        y[:, :, :, 1:] += dx
+        y[:, :, :, :-1] += dx
+        y[:, :, 1:, :] += dy
+        y[:, :, :-1, :] += dy
+        return (torch.sum(y, 1, keepdim=True) / 3 / 4).numpy()
+
+    def test_matches_torch_oracle(self, rng):
+        from rcot_tpu.ops.edges import edge_map
+
+        x = rng.uniform(size=(2, 9, 7, 3)).astype(np.float32)
+        ours = np.asarray(edge_map(jnp.asarray(x)))
+        ref = self._torch_oracle(x.transpose(0, 3, 1, 2))  # NHWC -> NCHW
+        np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=1e-6)
+
+    def test_unbatched_chw_branch_values(self, rng):
+        """The reference's test=False branch computes the same per-pixel
+        values on a single CHW image; ours takes one HWC image."""
+        from rcot_tpu.ops.edges import edge_map
+
+        x = rng.uniform(size=(5, 6, 3)).astype(np.float32)
+        single = np.asarray(edge_map(jnp.asarray(x)))
+        batched = np.asarray(edge_map(jnp.asarray(x)[None]))[0]
+        np.testing.assert_allclose(single, batched, atol=0)
+        # constant image -> zero edges; /3 quirk holds for C != 3 too
+        flat = np.asarray(edge_map(jnp.ones((4, 4, 5))))
+        np.testing.assert_allclose(flat, 0.0, atol=0)
