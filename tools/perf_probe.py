@@ -49,6 +49,8 @@ def emit(rec):
         rec["bwd_bf16"] = os.environ["RCOT_BWD_BF16"]  # keep tier-list value
     if os.environ.get("RCOT_SINGLE_FWD"):
         rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
+    if dispatch.critic_s2d_on():
+        rec["critic_s2d"] = True
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
