@@ -1,23 +1,63 @@
 """ctypes bindings for the native C++ patch loader (native/patchloader.cc).
 
-Gracefully degrades: if the shared library hasn't been built (native/build.sh)
-the loader reports unavailable and callers fall back to PIL. The library does
-libpng/libjpeg decode + patch crop on a C++ thread pool — no GIL, one call
-per batch.
+Auto-builds lazily: the first call compiles native/patchloader.cc with g++
+(atomic rename, so concurrent processes never dlopen a half-written .so) and
+only falls back to PIL when no toolchain exists or the compile fails. Set
+RCOT_NATIVE_LOADER=0 to force the PIL path. The library does libpng/libjpeg
+decode + patch crop on a C++ thread pool — no GIL, one call per batch.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
+import sys
 from typing import Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                         "librcot_patchloader.so")
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librcot_patchloader.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "patchloader.cc")
 _lib = None
 _tried = False
+
+
+def _maybe_build() -> None:
+    """Compile the .so if missing or older than its source. Atomic: build to a
+    pid-suffixed temp name, then os.replace — a concurrent builder loses the
+    race harmlessly and both processes dlopen a complete library."""
+    if not os.path.exists(_SRC_PATH):
+        return
+    try:
+        fresh = (os.path.exists(_LIB_PATH)
+                 and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC_PATH))
+    except OSError:
+        fresh = False
+    if fresh:
+        return
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
+           _SRC_PATH, "-lpng", "-ljpeg", "-lpthread"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode == 0:
+            os.replace(tmp, _LIB_PATH)
+        else:
+            print(f"rcot_tpu: native patchloader build failed "
+                  f"(falling back to PIL):\n{proc.stderr[-500:]}",
+                  file=sys.stderr)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"rcot_tpu: native patchloader build unavailable ({e}); "
+              f"falling back to PIL", file=sys.stderr)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -25,8 +65,12 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    if os.environ.get("RCOT_NATIVE_LOADER", "1") == "0":
+        _lib = None
+        return _lib
+    _maybe_build()
     try:
-        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        lib = ctypes.CDLL(_LIB_PATH)
         lib.rcot_image_size.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]

@@ -122,7 +122,10 @@ def critic_s2d_on() -> bool:
     input — numerically identical, but the MXU sees a stride-1 conv with 4x
     the input channels instead of a strided window. fstep_parity measures
     only ~5.3 TFLOP/s vs the T-side's ~18 (probe_r2), and the critic is all
-    convs; this probes whether XLA's strided-conv lowering is the cost."""
+    convs; this probes whether XLA's strided-conv lowering is the cost.
+    Like every RCOT_* dispatch toggle, this is read at TRACE time: set it
+    before the first compiled step — flipping it after jit has compiled
+    has no effect (and no warning)."""
     return os.environ.get("RCOT_CRITIC_S2D", "") not in ("", "0")
 
 

@@ -134,9 +134,10 @@ class TestCriticS2D:
         gs2d = jax.grad(lambda x: jnp.sum(apply_fnet(p, x, cfg)))(x)
 
         assert jnp.allclose(base, s2d, atol=5e-5), float(jnp.abs(base - s2d).max())
-        # conv reassociation noise only; compare against the grad's own scale
+        # conv reassociation noise only (f32, well under 1e-3 relative); tight
+        # enough that a border-tap error in the s2d input-gradient path trips it
         scale = float(jnp.abs(gbase).max()) + 1e-12
-        assert float(jnp.abs(gbase - gs2d).max()) / scale < 0.1
+        assert float(jnp.abs(gbase - gs2d).max()) / scale < 1e-3
 
     def test_s2d_odd_size_falls_back(self, monkeypatch):
         """Odd spatial sizes (possible under the pooled head) must route to
