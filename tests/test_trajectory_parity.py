@@ -15,6 +15,17 @@ constants, Net_Restormer.py:283-292), so dim stays 48 and we shrink block
 counts/patch/batch instead. A torch-side harness reimplements train()'s math
 faithfully (it cannot be imported: trainer.py is an argparse script wired to
 datasets); every rule it encodes cites the reference line it mirrors.
+
+The schedule is 2 epochs x 4 iterations with --step 1, which crosses BOTH
+behavioral boundaries of the reference's training regime inside one run:
+ - the paired->unpaired gate flips at iteration 2 of each epoch
+   (PAIRNUM//BATCH == 2, trainer.py:338-343), so iterations 2,3 of each
+   epoch train on the OT objective alone — two consecutive unpaired
+   iterations per epoch, then the gate RE-ENGAGES at epoch 2's start
+   (the reference's iteration counter is per-epoch: trainer.py:247);
+ - the step-decay boundary: epoch 2 runs at lr*0.1 on both optimizers
+   (adjust_learning_rate, trainer.py:228-231 via :235-243 — note the
+   epoch-1 argument), while RMSprop square_avg state carries across.
 """
 
 from __future__ import annotations
@@ -36,9 +47,12 @@ pytestmark = [
 
 BATCH = 2
 PATCH = 32
-N_ITERS = 3
-PAIRNUM = 4          # iterations 0,1 paired; 2 unpaired (trainer.py:338)
-LR = 1e-4            # epoch 1 -> no decay (trainer.py:228-231)
+N_EPOCHS = 2         # epoch 2 crosses the lr*0.1 decay (trainer.py:228-231)
+ITERS_PER_EPOCH = 4
+N_ITERS = N_EPOCHS * ITERS_PER_EPOCH
+PAIRNUM = 4          # per-epoch iterations 0,1 paired; 2,3 unpaired (trainer.py:338)
+LR = 1e-4
+LR_STEP = 1          # --step: decay every epoch so the boundary is in-run
 SIGMA_OT = 1.0       # --sigma (trainer.py:51)
 SIGMA_PAIR = 1e4     # --Sigma (trainer.py:50)
 DE_IDS = [1, 3]      # one noise-branch, one paired-branch fourier sample
@@ -85,7 +99,7 @@ def _gp_alphas():
     import jax
     return [np.asarray(jax.random.uniform(
         jax.random.PRNGKey(100 + i), (BATCH, 1, 1, 1), dtype=np.float32))
-        for i in range(N_ITERS)]
+        for i in range(N_ITERS)]   # keyed by GLOBAL iteration index
 
 
 def _run_torch(perturb: float = 0.0):
@@ -118,8 +132,18 @@ def _run_torch(perturb: float = 0.0):
 
     de_id = torch.tensor(DE_IDS)
     logs = []
-    for it, ((deg_np, tar_np), alpha_np) in enumerate(
-            zip(_make_batches(perturb), _gp_alphas())):
+    batches, alphas = _make_batches(perturb), _gp_alphas()
+    for g_it, ((deg_np, tar_np), alpha_np) in enumerate(zip(batches, alphas)):
+        epoch = g_it // ITERS_PER_EPOCH + 1
+        it = g_it % ITERS_PER_EPOCH     # reference counter resets per epoch
+        if it == 0:
+            # adjust_learning_rate(F_opt, epoch-1) then T=lr/2
+            # (trainer.py:235-243); square_avg state persists across it
+            lr = LR * (0.1 ** ((epoch - 1) // LR_STEP))
+            for pg in t_opt.param_groups:
+                pg["lr"] = lr / 2
+            for pg in f_opt.param_groups:
+                pg["lr"] = lr
         # our pipeline is NHWC; reference is NCHW
         degraded = torch.from_numpy(deg_np.transpose(0, 3, 1, 2))
         target = torch.from_numpy(tar_np.transpose(0, 3, 1, 2))
@@ -209,13 +233,19 @@ def _run_jax(t_sd0, f_sd0):
     iteration = jax.jit(make_train_iteration(cfg))
     de_id = jnp.asarray(DE_IDS, jnp.int32)
 
+    from rcot_tpu.train.optim import step_decay_lr
+
     logs = []
-    for it, (deg_np, tar_np) in enumerate(_make_batches()):
+    for g_it, (deg_np, tar_np) in enumerate(_make_batches()):
+        epoch = g_it // ITERS_PER_EPOCH + 1
+        it = g_it % ITERS_PER_EPOCH
+        # the SHIPPED decay rule (trainer.py passes epoch-1, our trainer.py:206)
+        lr = step_decay_lr(LR, epoch - 1, LR_STEP)
         batch = Batch(degraded=jnp.asarray(deg_np), target=jnp.asarray(tar_np),
                       de_id=de_id)
         paired = jnp.array(it < PAIRNUM // BATCH)
-        state, m = iteration(state, batch, jax.random.PRNGKey(100 + it),
-                             paired, jnp.float32(LR))
+        state, m = iteration(state, batch, jax.random.PRNGKey(100 + g_it),
+                             paired, jnp.float32(lr))
         logs.append({k: float(v) for k, v in m.items()})
     return logs, state, cfg
 
@@ -224,17 +254,25 @@ def test_trajectory_matches_reference_trainer():
     torch_logs, (t_sd0, f_sd0), (t_sd_end, f_sd_end) = _run_torch()
     # calibration run: the reference's own delta sensitivity to fp32-scale
     # input noise (weights identical; only the batches move by 1e-6)
-    _, _, (t_sd_eps, f_sd_eps) = _run_torch(perturb=1e-6)
+    eps_logs, _, (t_sd_eps, f_sd_eps) = _run_torch(perturb=1e-6)
     jax_logs, state, cfg = _run_jax(t_sd0, f_sd0)
 
     # --- per-iteration loss components ---
-    for it, (tl, jl) in enumerate(zip(torch_logs, jax_logs)):
+    # Minimax + RMSprop sign-like first steps amplify rounding noise
+    # iteration over iteration, so later iterations are held to 3x the
+    # reference's OWN drift under a 1e-6 input perturbation, with the
+    # early-iteration rtol as the floor.
+    for it, (tl, el, jl) in enumerate(zip(torch_logs, eps_logs, jax_logs)):
         for k in ("f_wgan", "f_gp", "t_loss", "rmse", "fourier"):
-            np.testing.assert_allclose(
-                jl[k], tl[k], rtol=2e-3, atol=2e-5,
-                err_msg=f"iteration {it} loss component {k!r}")
+            tol = max(3.0 * abs(el[k] - tl[k]),
+                      2e-3 * abs(tl[k]), 2e-5)
+            assert abs(jl[k] - tl[k]) <= tol, (
+                f"iteration {it} loss component {k!r}: ours {jl[k]:.6g} vs "
+                f"reference {tl[k]:.6g} (ref's own fp32-noise drift "
+                f"{abs(el[k] - tl[k]):.3g}, tol {tol:.3g})")
 
-    # --- post-training parameter deltas (3 RMSprop steps each net) ---
+    # --- post-training parameter deltas (N_ITERS RMSprop steps each net,
+    #     spanning the paired->unpaired flip and the lr*0.1 epoch) ---
     from rcot_tpu.compat.torch_port import (port_fnet_state_dict,
                                             port_tnet_state_dict)
     import jax
