@@ -11,7 +11,18 @@ semantics from inside the process:
 - process-0-only checkpoint writes (each process gets its OWN ckpt dir; the
   non-lead's must stay empty).
 
+Resume mode (cross-process-count resume, the one resume topology the
+single-process tests can't cover): pass a checkpoint path and the worker
+resumes it and trains ONE more epoch, dumping its post-epoch params. The
+test runs this both 2-process (2 devices x batch 2 per host) and
+1-process (4 devices x batch 4) from the SAME checkpoint and asserts the
+continuations match: the global batch content is topology-invariant here
+because augment/degrade run on-device keyed by the GLOBAL step
+(trainer.py _fused_step) and the tree's single 32x32 image makes host-side
+crop randomness (which IS per-host) a no-op.
+
 Invoked: python tests/mp_worker.py <pid> <nproc> <coordinator> <tree> <out>
+                 [n_local_devices] [batch_size] [resume_from]
 """
 
 import json
@@ -22,11 +33,14 @@ import sys
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     coord, tree, outdir = sys.argv[3], sys.argv[4], sys.argv[5]
+    n_local = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    batch = int(sys.argv[7]) if len(sys.argv) > 7 else 2
+    resume_from = sys.argv[8] if len(sys.argv) > 8 else None
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2").strip()
+        + f" --xla_force_host_platform_device_count={n_local}").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")  # axon sitecustomize stomps env
 
@@ -34,8 +48,8 @@ def main():
     initialize_distributed(coord, nproc, pid)
     assert jax.process_index() == pid
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 2
-    assert jax.device_count() == 2 * nproc
+    assert jax.local_device_count() == n_local
+    assert jax.device_count() == n_local * nproc
 
     from rcot_tpu.train.trainer import Trainer
     from rcot_tpu.utils.config import (Config, CriticConfig, DataConfig,
@@ -50,21 +64,36 @@ def main():
                         derain_dir=f"{tree}/Derain/", num_workers=2,
                         oversample={"derain": 8, "denoise": 1, "deblur": 1,
                                     "lowlight": 1, "single": 1}),
-        # per-host batch 2 -> global batch 4 over the 4-device mesh
-        train=TrainConfig(batch_size=2, num_epochs=1, log_every=1,
+        # per-host batch x nproc = global batch 4 over the global mesh
+        train=TrainConfig(batch_size=batch, num_epochs=1, log_every=1,
                           ckpt_dir=os.path.join(outdir, f"ckpt_p{pid}"),
                           run_name="MP"),
     )
 
-    mesh = make_mesh()  # all 4 global devices on 'data'
+    mesh = make_mesh()  # all global devices on 'data'
     trainer = Trainer(cfg, mesh=mesh,
                       log_path=os.path.join(outdir, f"log_p{pid}.jsonl"))
     assert trainer.is_lead == (pid == 0)
 
-    # loader split: 8 oversampled samples, strided by process -> 4 each,
-    # 2 steps of per-host batch 2
+    # loader split: 8 oversampled samples, strided by process,
+    # always 2 global steps per epoch
     assert trainer.loader.pi == pid and trainer.loader.pc == nproc
     assert trainer.loader.steps_per_epoch() == 2
+
+    if resume_from is not None:
+        import numpy as np
+        trainer.resume(resume_from)
+        assert trainer.host_step == 2 and trainer.start_epoch == 2
+        trainer.train_epoch(trainer.start_epoch)
+        assert trainer.host_step == 4
+        jax.block_until_ready(trainer.state)
+        leaves = jax.tree_util.tree_leaves(trainer.state.t_params)
+        f_leaves = jax.tree_util.tree_leaves(trainer.state.f_params)
+        if pid == 0:
+            np.savez(os.path.join(outdir, f"resumed_np{nproc}.npz"),
+                     *[np.asarray(l) for l in leaves + f_leaves])
+        print(f"resume worker {pid} OK", flush=True)
+        return
 
     trainer.init_state()
     metrics = trainer.train_epoch(1)

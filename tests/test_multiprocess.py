@@ -31,11 +31,15 @@ def _free_port() -> int:
 
 
 def _make_tree(root: str) -> None:
+    # exactly patch-sized (32x32): host-side crop randomness — the ONLY
+    # per-host (topology-dependent) randomness in the pipeline — becomes a
+    # no-op, making epoch batches bit-identical across process counts for
+    # the cross-process-count resume leg below
     rng = np.random.default_rng(0)
     os.makedirs(f"{root}/Derain/rainy", exist_ok=True)
     os.makedirs(f"{root}/Derain/gt", exist_ok=True)
     os.makedirs(f"{root}/manifests/rainy", exist_ok=True)
-    clean = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    clean = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
     rain = np.clip(clean.astype(int) + rng.integers(0, 60, clean.shape),
                    0, 255).astype(np.uint8)
     Image.fromarray(rain).save(f"{root}/Derain/rainy/rain-0.png")
@@ -94,3 +98,47 @@ def test_two_process_distributed_training(tmp_path):
     # process-0-gated logging: only the lead's JSONL has events
     lead_log = os.path.join(out, "log_p0.jsonl")
     assert os.path.exists(lead_log) and os.path.getsize(lead_log) > 0
+
+    # ---- cross-process-count resume (the one resume topology the
+    # single-process tests can't cover): the SAME epoch-1 checkpoint from
+    # the 2-process run above continues for one epoch BOTH 2-process
+    # (2 local devices x per-host batch 2) and 1-process (4 devices x
+    # batch 4). Global batch content is topology-invariant (see mp_worker
+    # docstring), so the continuations must agree to collective reduction
+    # order.
+    ckpt = os.path.join(out, "ckpt_p0", "latest.npz")
+    assert os.path.exists(ckpt)
+
+    def _run_resume(nproc: int, n_local: int, batch: int) -> None:
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(nproc), coord, tree,
+                 out, str(n_local), str(batch), ckpt],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for pid in range(nproc)
+        ]
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"resume workers (nproc={nproc}) timed out")
+            assert p.returncode == 0, f"resume worker failed:\n{stdout[-4000:]}"
+
+    _run_resume(2, 2, 2)
+    _run_resume(1, 4, 4)
+
+    with np.load(os.path.join(out, "resumed_np2.npz")) as a, \
+            np.load(os.path.join(out, "resumed_np1.npz")) as b:
+        assert list(a.files) == list(b.files)
+        worst = 0.0
+        for k in a.files:
+            x, y = a[k].astype(np.float64), b[k].astype(np.float64)
+            denom = np.abs(x).max() + 1e-12
+            worst = max(worst, float(np.abs(x - y).max() / denom))
+        # identical batches + identical math; only the grad all-reduce's
+        # summation order may differ between 1 and 2 processes
+        assert worst < 1e-5, f"cross-process-count resume drift: {worst:.3e}"
