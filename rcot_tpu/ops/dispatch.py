@@ -129,6 +129,18 @@ def critic_s2d_on() -> bool:
     return os.environ.get("RCOT_CRITIC_S2D", "") not in ("", "0")
 
 
+def tail_split_on() -> bool:
+    """Split the block-TAIL backward into two slimmer Mosaic kernels
+    (RCOT_TAIL_SPLIT=1, opt-in until measured): a dx/da kernel (drops the 6
+    grid-revisited weight-grad accumulators) and a dW kernel (drops the
+    dx/da row streams), each recomputing the shared band intermediates.
+    Probes VERDICT r2 #3: whether the monolith's ~20-25% MXU utilization is
+    per-kernel complexity (slimmer programs -> deeper bands pipelined under
+    the compile-helper wall, band knobs RCOT_TAIL_DX/DW_VMEM_MB) or
+    fundamental. Trace-time toggle, like every RCOT_* flag."""
+    return os.environ.get("RCOT_TAIL_SPLIT", "") not in ("", "0")
+
+
 def any_ablate() -> bool:
     return bool(os.environ.get("RCOT_ABLATE"))
 

@@ -206,7 +206,10 @@ def _inner_fwd(*refs, gate, th, has_pre, ln_bias, has_in, has_out, residual):
 # ----------------------------------------------------------------- backward
 
 def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
-                has_in: bool, has_out: bool, residual: bool):
+                has_in: bool, has_out: bool, residual: bool,
+                mode: str = "full"):
+    want_dx = mode in ("full", "dx")
+    want_dw = mode in ("full", "dw")
     i = 0
     x_rows = refs[i:i + 5]
     i += 5
@@ -227,8 +230,14 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     i += 1
     w_out = refs[i] if has_out else None
     i += 1 if has_out else 0
-    (dx_ref, da_ref, dwpre_ref, dlnw_ref, dlnb_ref, dwin_ref, ddw_ref,
-     dwout_ref) = refs[i:i + 8]
+    dx_ref = da_ref = None
+    dwpre_ref = dlnw_ref = dlnb_ref = dwin_ref = ddw_ref = dwout_ref = None
+    if want_dx:
+        dx_ref, da_ref = refs[i:i + 2]
+        i += 2
+    if want_dw:
+        (dwpre_ref, dlnw_ref, dlnb_ref, dwin_ref, ddw_ref,
+         dwout_ref) = refs[i:i + 6]
 
     r = pl.program_id(1)
     nr = pl.num_programs(1)
@@ -317,31 +326,39 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
     else:
         du = dh
 
-    # LayerNorm backward on the mid rows.
+    # LayerNorm backward on the mid rows. dt_mid feeds dx/da AND dwpre, so
+    # the 'dw' split still derives it when a pre-matmul exists.
     t_mid = tf[2:2 + th]
     mu_mid = mean[2:2 + th]
     inv_mid = inv[2:2 + th]
     gw = du * lw
     if ln_bias:
-        that = (t_mid - mu_mid) * inv_mid
-        dt_mid = inv_mid * (
-            gw - jnp.mean(gw, axis=-1, keepdims=True)
-            - that * jnp.mean(gw * that, axis=-1, keepdims=True))
-        that_for_w = that
+        that_for_w = (t_mid - mu_mid) * inv_mid
     else:
-        dt_mid = (inv_mid * gw
-                  - (inv_mid ** 3) * (t_mid - mu_mid)
-                  * jnp.mean(gw * t_mid, axis=-1, keepdims=True))
         that_for_w = t_mid * inv_mid
+    dt_mid = None
+    if want_dx or (want_dw and has_pre):
+        if ln_bias:
+            dt_mid = inv_mid * (
+                gw - jnp.mean(gw, axis=-1, keepdims=True)
+                - that_for_w * jnp.mean(gw * that_for_w, axis=-1,
+                                        keepdims=True))
+        else:
+            dt_mid = (inv_mid * gw
+                      - (inv_mid ** 3) * (t_mid - mu_mid)
+                      * jnp.mean(gw * t_mid, axis=-1, keepdims=True))
+        if residual:
+            dt_mid = dt_mid + gb[1:1 + th].astype(jnp.float32)
 
-    if residual:
-        dt_mid = dt_mid + gb[1:1 + th].astype(jnp.float32)
+    if want_dx:
+        dx_ref[0] = dt_mid.astype(dx_ref.dtype)
+        if has_pre:
+            da2 = _bwd_dot(dt_mid.reshape(th * w_dim, cin), w_pre[:],
+                           ((1,), (1,)), tier="block")
+            da_ref[0] = da2.reshape(th, w_dim, ca).astype(da_ref.dtype)
 
-    dx_ref[0] = dt_mid.astype(dx_ref.dtype)
-    if has_pre:
-        da2 = _bwd_dot(dt_mid.reshape(th * w_dim, cin), w_pre[:],
-                       ((1,), (1,)), tier="block")
-        da_ref[0] = da2.reshape(th, w_dim, ca).astype(da_ref.dtype)
+    if not want_dw:
+        return
 
     # ---- accumulated weight grads ----
     @pl.when(first)
@@ -382,7 +399,17 @@ def _bwd_kernel(refs, *, gate: bool, th: int, has_pre: bool, ln_bias: bool,
 
 
 def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
-                    *, gate: bool, residual: bool, interpret: bool = False):
+                    *, gate: bool, residual: bool, interpret: bool = False,
+                    mode: str = "full"):
+    """mode: 'full' -> (dx, da, 6 weight grads) in ONE kernel;
+    'dx'/'dw' -> only the data grads / only the weight grads — two slimmer
+    Mosaic programs that recompute the shared intermediates but each carry
+    fewer output streams (dx drops the 6 grid-revisited accumulators, dw
+    drops the dx/da row streams), so each can take a deeper row band under
+    the compile-helper's per-kernel complexity wall."""
+    assert mode in ("full", "dx", "dw"), mode
+    want_dx = mode in ("full", "dx")
+    want_dw = mode in ("full", "dw")
     b, h, w_dim, c = x.shape
     m = dwk.shape[2]
     has_pre = a is not None
@@ -397,10 +424,14 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
     # the perf/bisect_block.jsonl sweep shows every tail-bwd shape compiling
     # at 2 MB and crashing at 8 MB, with 4 MB mixed — so 4 MB only for
     # (C, W) pairs the sweep verified, 2 MB for anything else. Head backward
-    # is stable at 4 MB everywhere probed.
+    # is stable at 4 MB everywhere probed. The split kernels get their own
+    # knobs (RCOT_TAIL_DX/DW_VMEM_MB) so the two programs' band depths can
+    # be probed independently against the wall.
     if has_pre:
         budget = 4.0 if (c, w_dim) in _TAIL_BWD_4MB_OK else 2.0
-        env = os.environ.get("RCOT_TAIL_VMEM_MB")  # crash-bisect knob
+        env = (os.environ.get(f"RCOT_TAIL_{mode.upper()}_VMEM_MB")
+               if mode != "full" else None) \
+            or os.environ.get("RCOT_TAIL_VMEM_MB")  # crash-bisect knob
         if env:
             budget = float(env)
     else:
@@ -442,7 +473,7 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
 
     kernel = functools.partial(
         _inner_bwd, gate=gate, th=th, has_pre=has_pre, ln_bias=ln_bias,
-        has_in=has_in, has_out=has_out, residual=residual)
+        has_in=has_in, has_out=has_out, residual=residual, mode=mode)
 
     const = lambda bb, r: (0, 0)  # noqa: E731
     const3 = lambda bb, r: (0, 0, 0)  # noqa: E731
@@ -452,39 +483,50 @@ def fused_block_bwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
                if has_pre else
                pl.BlockSpec((1, 1, 1, 1), const4, memory_space=pltpu.VMEM))
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(b, h // th),
-        in_specs=in_specs,
-        out_specs=(
+    out_specs, out_shapes = [], []
+    if want_dx:
+        out_specs += [
             pl.BlockSpec((1, th, w_dim, c), lambda bb, r: (bb, r, 0, 0),
                          memory_space=pltpu.VMEM),
             da_spec,
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, h, w_dim, c), x.dtype),
+            jax.ShapeDtypeStruct(da_shape, x.dtype),
+        ]
+    if want_dw:
+        out_specs += [
             pl.BlockSpec(wpre_shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(lnb_shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec(win_shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, m), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec(wout_shape, const, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, w_dim, c), x.dtype),
-            jax.ShapeDtypeStruct(da_shape, x.dtype),
+        ]
+        out_shapes += [
             jax.ShapeDtypeStruct(wpre_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct(lnb_shape, jnp.float32),
             jax.ShapeDtypeStruct(win_shape, jnp.float32),
             jax.ShapeDtypeStruct((3, 3, m), jnp.float32),
             jax.ShapeDtypeStruct(wout_shape, jnp.float32),
-        ),
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(*operands)
     return outs
 
 
-def _inner_bwd(*refs, gate, th, has_pre, ln_bias, has_in, has_out, residual):
+def _inner_bwd(*refs, gate, th, has_pre, ln_bias, has_in, has_out, residual,
+               mode="full"):
     _bwd_kernel(refs, gate=gate, th=th, has_pre=has_pre, ln_bias=ln_bias,
-                has_in=has_in, has_out=has_out, residual=residual)
+                has_in=has_in, has_out=has_out, residual=residual, mode=mode)
 
 
 # -------------------------------------------------------------- custom vjp
@@ -512,9 +554,20 @@ def _vjp_fwd(x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, gate, residual,
 
 def _vjp_bwd(gate, residual, interpret, res, g):
     x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out = res
-    (dx, da, dwpre, dlnw, dlnb, dwin, ddw, dwout) = fused_block_bwd(
-        x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
-        gate=gate, residual=residual, interpret=interpret)
+    from .dispatch import tail_split_on
+    if tail_split_on() and a is not None:
+        # two slimmer kernels (VERDICT r2 #3): data grads and weight grads
+        # each with their own band depth; shared intermediates recomputed
+        dx, da = fused_block_bwd(
+            x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
+            gate=gate, residual=residual, interpret=interpret, mode="dx")
+        (dwpre, dlnw, dlnb, dwin, ddw, dwout) = fused_block_bwd(
+            x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
+            gate=gate, residual=residual, interpret=interpret, mode="dw")
+    else:
+        (dx, da, dwpre, dlnw, dlnb, dwin, ddw, dwout) = fused_block_bwd(
+            x, a, w_pre, ln_w, ln_b, w_in, dwk, w_out, g,
+            gate=gate, residual=residual, interpret=interpret)
     return (dx,
             da if a is not None else None,
             dwpre.astype(w_pre.dtype) if w_pre is not None else None,

@@ -76,8 +76,15 @@ def test_head_matches_reference(rng, ln_bias, band_budget):
         np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("tail_split", [False, True],
+                         ids=["monolith", "split"])
 @pytest.mark.parametrize("ln_bias", [False, True])
-def test_tail_matches_reference(rng, ln_bias, band_budget):
+def test_tail_matches_reference(rng, ln_bias, band_budget, tail_split,
+                                monkeypatch):
+    if tail_split:
+        # two slimmer kernels (dx/da + dW) instead of the monolithic
+        # backward — same math, shared intermediates recomputed
+        monkeypatch.setenv("RCOT_TAIL_SPLIT", "1")
     b, h, w, c = 2, 8, 8, 8
     hid = 11  # deliberately unaligned: exercises the gate-half zero padding
     x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
