@@ -118,6 +118,13 @@ def block_stack(ps: list, x: jax.Array, num_heads: int) -> jax.Array:
     the cost of whatever cross-block fusion XLA would have found. Default is
     the unrolled loop (numerically identical either way).
 
+    RCOT_SCAN_MIN_BLOCKS=N limits the scan to stacks of >= N blocks: N=8
+    scans only the two latent stacks (8 blocks at 16^2 where cross-block
+    fusion matters least) while levels 1-3 stay unrolled — a middle point
+    that still shrinks the HLO enough to admit compositions the compile
+    helper rejects unrolled (measured round 3: full-scan broke the
+    gram+block-FULL wall but lost ~30% runtime to defused blocks).
+
     RCOT_REMAT=1 wraps each block in jax.checkpoint (rematerialize block
     internals in the backward instead of storing them) — trades ~recompute
     for activation memory so larger batches fit HBM (batch 12 at patch 128
@@ -127,7 +134,9 @@ def block_stack(ps: list, x: jax.Array, num_heads: int) -> jax.Array:
     block = transformer_block
     if os.environ.get("RCOT_REMAT", "") not in ("", "0"):
         block = jax.checkpoint(transformer_block, static_argnums=(2,))
-    if len(ps) > 1 and os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
+    min_blocks = int(os.environ.get("RCOT_SCAN_MIN_BLOCKS", "2") or 2)
+    if (len(ps) >= max(min_blocks, 2)
+            and os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0")):
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
 
         def body(h, p):

@@ -87,6 +87,61 @@ class TestTnetForward:
         assert any(float(jnp.abs(l).max()) > 0.0 for l in used)
 
 
+class TestBlockStackVariants:
+    """RCOT_SCAN_BLOCKS / RCOT_SCAN_MIN_BLOCKS / RCOT_REMAT are pure
+    program-SHAPE levers against the sandbox's compile-helper wall
+    (models/restormer.py block_stack, BENCH.md round 3) — every variant
+    must match the unrolled default numerically, value and param-grad."""
+
+    @pytest.fixture(scope="class")
+    def multi_cfg(self):
+        # stacks of 2/2/2/3 (+2 refinement) so the scan path actually
+        # triggers, unlike tiny_model_cfg's single-block stacks
+        return ModelConfig(dim=8, num_blocks=(2, 2, 2, 3),
+                           num_refinement_blocks=2, heads=(1, 2, 4, 8),
+                           parity_params=False)
+
+    @pytest.fixture(scope="class")
+    def baseline(self, multi_cfg):
+        p = init_tnet(jax.random.PRNGKey(5), multi_cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 3))
+        out, g = jax.jit(jax.value_and_grad(
+            lambda p: jnp.sum(apply_tnet(p, x, multi_cfg)[0])))(p)
+        return p, x, float(out), g
+
+    def _run(self, multi_cfg, p, x):
+        return jax.jit(jax.value_and_grad(
+            lambda p: jnp.sum(apply_tnet(p, x, multi_cfg)[0])))(p)
+
+    @pytest.mark.parametrize("env", [
+        {"RCOT_SCAN_BLOCKS": "1"},
+        {"RCOT_SCAN_BLOCKS": "1", "RCOT_SCAN_MIN_BLOCKS": "3"},
+        {"RCOT_REMAT": "1"},
+        {"RCOT_SCAN_BLOCKS": "1", "RCOT_REMAT": "1"},
+    ], ids=["scan", "scan-latent-only", "remat", "scan+remat"])
+    def test_variant_matches_unrolled(self, multi_cfg, baseline, env,
+                                      monkeypatch):
+        p, x, out_ref, g_ref = baseline
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out, g = self._run(multi_cfg, p, x)
+        assert abs(float(out) - out_ref) < 1e-4 * max(1.0, abs(out_ref))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+            g, g_ref)
+
+    def test_min_blocks_above_max_stack_disables_scan(self, multi_cfg,
+                                                      baseline, monkeypatch):
+        """min_blocks > every stack size must take the unrolled path —
+        bitwise-identical program, not just close."""
+        p, x, out_ref, _ = baseline
+        monkeypatch.setenv("RCOT_SCAN_BLOCKS", "1")
+        monkeypatch.setenv("RCOT_SCAN_MIN_BLOCKS", "99")
+        out, _ = self._run(multi_cfg, p, x)
+        assert float(out) == out_ref
+
+
 class TestCritic:
     def test_scalar_per_image(self):
         cfg = CriticConfig(patch_size=32)

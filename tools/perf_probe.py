@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "perf", "probe_r2.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "..", "perf",
+                   os.environ.get("RCOT_PROBE_OUT", "probe_r3.jsonl"))
 
 
 def emit(rec):
@@ -51,6 +52,15 @@ def emit(rec):
         rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
     if dispatch.critic_s2d_on():
         rec["critic_s2d"] = True
+    if os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
+        rec["scan_blocks"] = os.environ.get("RCOT_SCAN_MIN_BLOCKS", True)
+    if os.environ.get("RCOT_REMAT", "") not in ("", "0"):
+        rec["remat"] = True
+    if dispatch.tail_split_on():
+        rec["tail_split"] = True
+        for env in ("RCOT_TAIL_DX_VMEM_MB", "RCOT_TAIL_DW_VMEM_MB"):
+            if os.environ.get(env):
+                rec[env.removeprefix("RCOT_").lower()] = os.environ[env]
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
