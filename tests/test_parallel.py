@@ -156,6 +156,71 @@ class TestTensorParallel:
                                        rtol=5e-4, atol=1e-5, err_msg=k)
 
 
+class TestCollectiveAudit:
+    """Pin the collective SCHEDULE each sharding config compiles to
+    (parallel/audit.py; perf/collective_audit.json carries the measured
+    byte volumes). No multi-chip hardware exists here, so the schedule —
+    not time — is the testable contract."""
+
+    def test_audit_hlo_parses_kinds_and_bytes(self):
+        from rcot_tpu.parallel.audit import audit_hlo
+        hlo = "\n".join([
+            # explicit-list groups of 4 -> "data"
+            "  %ar = f32[4,8,8,16]{3,2,1,0} all-reduce(%x), "
+            "replica_groups={{0,2,4,6},{1,3,5,7}}, to_apply=%add",
+            # iota syntax [n_groups,group_size]<=[total]: groups of 2 ->
+            # "tensor"; tuple shape sums both components
+            "  %ag = (bf16[2,4]{1,0}, bf16[2,4]{1,0}) all-gather(%a, %b), "
+            "replica_groups=[4,2]<=[8], dimensions={0}",
+            # permutes carry source_target_pairs; stride 1 -> "tensor"
+            "  %cp = f32[2,4]{1,0} collective-permute(%c), "
+            "source_target_pairs={{0,1},{2,3},{4,5},{6,7}}",
+            "  %mm = f32[8,8]{1,0} dot(%p, %q)",  # not a collective
+        ])
+        rep = audit_hlo(hlo, {2: "tensor", 4: "data"}, {1: "tensor"})
+        assert rep["per_kind"]["all-reduce"]["count"] == 1
+        assert rep["per_kind"]["all-reduce"]["bytes"] == 4 * 8 * 8 * 16 * 4
+        assert rep["per_kind"]["all-reduce"]["by_axis"]["data"]["count"] == 1
+        assert rep["per_kind"]["all-gather"]["bytes"] == 2 * (2 * 4 * 2)
+        assert rep["per_kind"]["all-gather"]["by_axis"]["tensor"]["count"] == 1
+        assert rep["per_kind"]["collective-permute"]["by_axis"]["tensor"][
+            "count"] == 1
+        assert rep["total"]["count"] == 3
+
+    def test_dp_forward_needs_no_collectives(self, mesh8, tiny_model_cfg):
+        """Pure DP inference is embarrassingly parallel: replicated params +
+        data-sharded batch must compile to ZERO collectives."""
+        from rcot_tpu.parallel.audit import audit_hlo
+        p = replicate(mesh8, init_tnet(jax.random.PRNGKey(0), tiny_model_cfg))
+        x = jax.device_put(jnp.zeros((8, 32, 32, 3)), batch_sharding(mesh8))
+        hlo = jax.jit(
+            lambda p, x: apply_tnet(p, x, tiny_model_cfg)[0]).lower(
+                p, x).compile().as_text()
+        assert audit_hlo(hlo)["total"]["count"] == 0
+
+    def test_tp_forward_pays_row_parallel_reduces(self, tiny_model_cfg):
+        """Channel-sharded params force a cross-'tensor' reduction at every
+        row-parallel projection — the analytic TP communication bill
+        (sharding.py scope note). The audit must see it."""
+        from rcot_tpu.parallel.audit import audit_hlo
+        mesh = make_mesh(data=4, tensor=2)
+        p = shard_state(mesh, init_tnet(jax.random.PRNGKey(0),
+                                        tiny_model_cfg))
+        x = jax.device_put(jnp.zeros((4, 32, 32, 3)), batch_sharding(mesh))
+        hlo = jax.jit(
+            lambda p, x: apply_tnet(p, x, tiny_model_cfg)[0]).lower(
+                p, x).compile().as_text()
+        rep = audit_hlo(hlo, {2: "tensor", 4: "data", 8: "data*tensor"})
+        reduces = (rep["per_kind"].get("all-reduce", {"count": 0})["count"]
+                   + rep["per_kind"].get("reduce-scatter",
+                                         {"count": 0})["count"])
+        assert reduces >= 1, rep
+        # and none of it leaks onto the data axis (DP stays collective-free
+        # in the forward)
+        for kind in rep["per_kind"].values():
+            assert kind["by_axis"].get("data", {"bytes": 0})["bytes"] == 0, rep
+
+
 class TestGraftEntry:
     @pytest.mark.slow
     def test_dryrun_multichip_8(self):

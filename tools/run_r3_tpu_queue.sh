@@ -47,13 +47,13 @@ say "queue start"
 # ~120-180us MXU bound; the split dx/dW kernels can take deeper band
 # budgets the monolith's 2MB cap forbids.
 cell ts_b3    iter_parity  RCOT_TAIL_SPLIT=1
-cell ts_deep4 iter_parity  RCOT_TAIL_SPLIT=1 RCOT_TAIL_DX_VMEM_MB=4 RCOT_TAIL_DW_VMEM_MB=4
-cell ts_deep8 iter_parity  RCOT_TAIL_SPLIT=1 RCOT_TAIL_DX_VMEM_MB=8 RCOT_TAIL_DW_VMEM_MB=8
 # critic S2D decision pair: same-session tagged A/B (ADVICE #1)
 cell fstep_base fstep_parity
 cell fstep_s2d  fstep_parity RCOT_CRITIC_S2D=1
 # batch scaling under the tail default (b6 measured 34.12 this round)
 cell b8       iter_parity  RCOT_PROBE_BATCH=8
+cell ts_deep4 iter_parity  RCOT_TAIL_SPLIT=1 RCOT_TAIL_DX_VMEM_MB=4 RCOT_TAIL_DW_VMEM_MB=4
+cell ts_deep8 iter_parity  RCOT_TAIL_SPLIT=1 RCOT_TAIL_DX_VMEM_MB=8 RCOT_TAIL_DW_VMEM_MB=8
 # combination cells
 cell ts_b6    iter_parity  RCOT_TAIL_SPLIT=1 RCOT_PROBE_BATCH=6
 cell allon_b6 iter_parity  RCOT_TAIL_SPLIT=1 RCOT_CRITIC_S2D=1 RCOT_PROBE_BATCH=6
