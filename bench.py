@@ -64,6 +64,12 @@ def _bench_cfg():
     from rcot_tpu.utils.config import get_preset
 
     cfg = get_preset(os.environ.get("RCOT_BENCH_PRESET", "derain"))
+    # RCOT_BENCH_BATCH overrides the per-chip batch (throughput knob only —
+    # conv/matmul FLOPs are exactly linear in batch, so the pinned baseline
+    # scales by bs/3 below and vs_baseline stays FLOP-normalized).
+    bs = int(os.environ.get("RCOT_BENCH_BATCH", "0") or 0)
+    if bs:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=bs))
     return cfg.replace(train=dataclasses.replace(cfg.train, dtype="bfloat16"))
 
 
@@ -246,10 +252,14 @@ def main():
 
     flops_computed = flops
     # the pin applies only to the exact config it was measured at: parity
-    # model, batch 3, patch 128 (a turbo/non-parity model has different
-    # per-iteration FLOPs and must use its own computed count)
-    if bs == 3 and ps == 128 and cfg.model == type(cfg.model)():
-        flops = REF_ITER_FLOPS
+    # model, patch 128 (a turbo/non-parity model has different per-iteration
+    # FLOPs and must use its own computed count). Every FLOP in the
+    # iteration is batch-linear (convs/matmuls/elementwise over batched
+    # activations), so other batch sizes scale the batch-3 pin exactly —
+    # which keeps vs_baseline comparable across batch settings where the
+    # CPU-lowering-computed count would inflate it ~21%.
+    if ps == 128 and cfg.model == type(cfg.model)():
+        flops = REF_ITER_FLOPS * (bs / 3.0)
 
     # warmup
     for _ in range(3):

@@ -113,8 +113,10 @@ def _is_multi_process(devices) -> bool:
 # per-block collectives are heavier than true Megatron TP would pay. Keeping
 # the packed layouts (which the Pallas fused kernels and the reference
 # checkpoint port both rely on) was chosen over head-aligned per-segment
-# params; revisit only if TP ever becomes a measured bottleneck on real
-# multi-chip hardware.
+# params. The bill is now PINNED from the compiled HLO (parallel/audit.py,
+# perf/collective_audit.json, BENCH.md round 3): dp4 x tp2 moves 8.41 GB of
+# collectives per train iteration vs dp8's 0.46 GB grad sync (~18x) —
+# so 'tensor' is a memory-capacity axis only; use 'data' for throughput.
 _COL = {"qkv": 3, "qkv_dw": 3, "proj_in": 3, "dw": 3}
 _ROW = {"proj": 2, "proj_out": 2}
 
