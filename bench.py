@@ -1,10 +1,13 @@
 """Benchmark: full RCOT minimax training iteration on the canonical recipe.
 
 Measures end-to-end training throughput (128px patches/sec/chip) of the
-flagship config — 46.85M-param two-pass T_net + 30.59M-param critic, batch 3,
+flagship config — 46.85M-param two-pass T_net + 30.59M-param critic,
 patch 128, WGAN + GP double critic update + transport step — i.e. exactly one
 reference trainer iteration (reference: trainer.py:247-346, README recipe
-README.md:99-115).
+README.md:99-115). Headline batch: 8, the measured single-chip throughput
+optimum (BENCH.md round 3); the canonical batch-3 recipe is measured
+alongside into detail.canonical_batch3, and vs_baseline is FLOP-normalized
+so the two settings are directly comparable.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -64,10 +67,14 @@ def _bench_cfg():
     from rcot_tpu.utils.config import get_preset
 
     cfg = get_preset(os.environ.get("RCOT_BENCH_PRESET", "derain"))
-    # RCOT_BENCH_BATCH overrides the per-chip batch (throughput knob only —
-    # conv/matmul FLOPs are exactly linear in batch, so the pinned baseline
-    # scales by bs/3 below and vs_baseline stays FLOP-normalized).
-    bs = int(os.environ.get("RCOT_BENCH_BATCH", "0") or 0)
+    # RCOT_BENCH_BATCH sets the per-chip batch (throughput knob only — conv/
+    # matmul FLOPs are exactly linear in batch, so the pinned baseline scales
+    # by bs/3 and vs_baseline stays FLOP-normalized). Default 8: the measured
+    # single-chip sweet spot under the tail composition (BENCH.md round 3:
+    # 31.4 -> 34.7 patches/s over batch 3; batch 12 does not compile on this
+    # toolchain). The canonical-recipe batch-3 number is still measured and
+    # reported in detail.canonical_batch3.
+    bs = int(os.environ.get("RCOT_BENCH_BATCH", "8") or 0)
     if bs:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=bs))
     return cfg.replace(train=dataclasses.replace(cfg.train, dtype="bfloat16"))
@@ -150,7 +157,7 @@ def main():
 
     enable_compilation_cache()
 
-    # batch 3, patch 128 — the canonical README recipe; bfloat16 activations
+    # patch 128, headline batch (default 8); bfloat16 activations
     # (params/grads/optimizer stay fp32 — standard TPU mixed precision,
     # measured ~12% faster than fp32 activations on v5e). Must stay
     # identical to warm_only()'s cfg so the subprocess warm hits the cache.
@@ -285,6 +292,35 @@ def main():
         vs_baseline = None
         breakeven_util = None
 
+    # Canonical-recipe (batch 3) throughput alongside the headline batch —
+    # the reference trains at batch 3 (README.md:99-115), so both numbers
+    # stay auditable. Usually a compile-cache hit (the probe/bench history
+    # keeps the batch-3 program warm); never fails the bench.
+    canonical_b3 = None
+    if bs != 3 and os.environ.get("RCOT_BENCH_CANONICAL", "1") not in ("", "0"):
+        try:
+            cfg3 = cfg.replace(train=__import__("dataclasses").replace(
+                cfg.train, batch_size=3))
+            state3 = create_train_state(jax.random.PRNGKey(0), cfg3)
+            batch3 = Batch(degraded=batch.degraded[:3], target=batch.target[:3],
+                           de_id=batch.de_id[:3])
+            step3 = jax.jit(make_train_iteration(cfg3),
+                            donate_argnums=(0,)).lower(
+                state3, batch3, key, paired, lr).compile()
+            for _ in range(3):
+                state3, _m3 = step3(state3, batch3, key, paired, lr)
+            jax.block_until_ready(state3)
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                state3, _m3 = step3(state3, batch3, key, paired, lr)
+            jax.block_until_ready(state3)
+            dt3 = (time.perf_counter() - t0) / n_iters
+            canonical_b3 = {"patches_per_sec": round(3 / dt3, 3),
+                            "sec_per_iter": round(dt3, 4)}
+        except Exception as e:
+            print(f"canonical batch-3 bench failed: {e!r}"[:300],
+                  file=sys.stderr)
+
     # Whole-image inference throughput (BASELINE.md metric "inference
     # img/s"), batch 1 and batch 4 (tester parity is batch-1; restore_batch
     # is ours). RCOT_BENCH_INFER=0 skips it (saves two compiles).
@@ -329,6 +365,7 @@ def main():
                 if flops else "unavailable"),
             "breakeven_a100_util": round(breakeven_util, 4)
             if breakeven_util else None,
+            "canonical_batch3": canonical_b3,
             "infer_256px_img_per_sec": infer_img_per_sec,
             "infer_256px_batch4_img_per_sec": infer_b4_img_per_sec,
             "kernel_composition": _composition(),
