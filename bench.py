@@ -299,8 +299,9 @@ def main():
     canonical_b3 = None
     if bs != 3 and os.environ.get("RCOT_BENCH_CANONICAL", "1") not in ("", "0"):
         try:
-            cfg3 = cfg.replace(train=__import__("dataclasses").replace(
-                cfg.train, batch_size=3))
+            import dataclasses
+            cfg3 = cfg.replace(
+                train=dataclasses.replace(cfg.train, batch_size=3))
             state3 = create_train_state(jax.random.PRNGKey(0), cfg3)
             batch3 = Batch(degraded=batch.degraded[:3], target=batch.target[:3],
                            de_id=batch.de_id[:3])

@@ -86,19 +86,19 @@ def _leaky(x: jax.Array) -> jax.Array:
 
 
 def apply_fnet(p: Dict, x: jax.Array, cfg: CriticConfig) -> jax.Array:
-    """x: (B, H, W, C) -> (B,) scalar potential per image."""
-    from ..ops import dispatch
-    from ..ops.conv import conv2d_s2d_stride2
-    use_s2d = dispatch.critic_s2d_on()
+    """x: (B, H, W, C) -> (B,) scalar potential per image.
+
+    The stride-2 convs use XLA's strided lowering directly: a space-to-depth
+    rewrite (RCOT_CRITIC_S2D, rounds 2-3) was built, parity-tested, and
+    measured TWICE — round 2's untagged -1.1 ms was refuted by round 3's
+    tagged same-session A/B (+3.5 ms, BENCH.md "critic S2D re-measured"),
+    so the knob and the op were removed.
+    """
     h = x
     for params, (_cin, _cout, k, s, _b) in zip(p["convs"], _CONV_SPECS):
         # torch padding: 2 for the 5x5 stem, 1 elsewhere (both 3x3-s1 and 4x4-s2).
         pad = 2 if k == 5 else 1
-        if use_s2d and s == 2 and k == 4 and h.shape[1] % 2 == 0 \
-                and h.shape[2] % 2 == 0:
-            h = _leaky(conv2d_s2d_stride2(params, h))
-        else:
-            h = _leaky(conv2d(params, h, stride=s, padding=pad))
+        h = _leaky(conv2d(params, h, stride=s, padding=pad))
     if cfg.head == "flatten":
         feat = h.reshape(h.shape[0], -1)
     elif cfg.head == "pooled":

@@ -79,35 +79,6 @@ def depthwise3x3_shifts(p: dict, x: jax.Array) -> jax.Array:
     return out
 
 
-def conv2d_s2d_stride2(p: dict, x: jax.Array, *, kernel: int = 4,
-                       padding: int = 1) -> jax.Array:
-    """4x4 stride-2 pad-1 NHWC conv as [pad -> space-to-depth(2) -> 2x2
-    stride-1 VALID conv on 4*Cin channels].
-
-    Identity: y[i,j,o] = sum_{di,dj,c} w[di,dj,c,o] * x[2i+di-1, 2j+dj-1, c].
-    With x' = pad(x, 1) the tap is x'[2i+di]; splitting di = 2s+a (s,a in
-    {0,1}) makes it a 2x2 window over 2x2 pixel blocks — i.e. a stride-1
-    conv over s2d(x') with weight w2[s,t,(2a+b)C+c,o] = w[2s+a,2t+b,c,o].
-    Requires even H,W (true for every level of the 128-patch critic).
-    """
-    assert kernel == 4 and padding == 1, "only the critic's 4x4/s2/p1 shape"
-    n, h, w_dim, c = x.shape
-    assert h % 2 == 0 and w_dim % 2 == 0, "s2d stride-2 conv needs even H,W"
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    hp, wp = h + 2, w_dim + 2
-    z = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
-    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
-    w = p["w"]  # (4, 4, C, O)
-    w2 = w.reshape(2, 2, 2, 2, c, -1)          # [s, a, t, b, c, o]
-    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, -1)
-    y = jax.lax.conv_general_dilated(
-        z, w2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=_DIMSPEC)
-    if "b" in p:
-        y = y + p["b"].astype(y.dtype)
-    return y
-
-
 def init_linear(key, fin: int, fout: int, *, bias: bool = True,
                 dtype=jnp.float32) -> dict:
     kw, kb = rnglib.split(key)

@@ -115,20 +115,6 @@ def gram_combined_on() -> bool:
     return os.environ.get("RCOT_GRAM_COMBINED", "1") not in ("", "0")
 
 
-def critic_s2d_on() -> bool:
-    """Critic stride-2 convs via space-to-depth (RCOT_CRITIC_S2D=1, opt-in
-    until measured): each 4x4-stride-2 conv is rewritten as one 2x2 stride-1
-    VALID conv over a 2x2-block space-to-depth relayout of the (pad-1)
-    input — numerically identical, but the MXU sees a stride-1 conv with 4x
-    the input channels instead of a strided window. fstep_parity measures
-    only ~5.3 TFLOP/s vs the T-side's ~18 (probe_r2), and the critic is all
-    convs; this probes whether XLA's strided-conv lowering is the cost.
-    Like every RCOT_* dispatch toggle, this is read at TRACE time: set it
-    before the first compiled step — flipping it after jit has compiled
-    has no effect (and no warning)."""
-    return os.environ.get("RCOT_CRITIC_S2D", "") not in ("", "0")
-
-
 def tail_split_on() -> bool:
     """Split the block-TAIL backward into two slimmer Mosaic kernels
     (RCOT_TAIL_SPLIT=1, opt-in until measured): a dx/da kernel (drops the 6

@@ -188,8 +188,26 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), sort_keys=True, default=str)
 
+    # Fields that are pure IO sinks: relocating them between runs (e.g.
+    # checkpointing to a different directory after a preemption, or a
+    # different sample/results path) does not change what is trained, so
+    # they are excluded from the semantic hash below — otherwise every
+    # relocated resume logs a false resume_config_mismatch (observed with
+    # the round-3 all-in-one resume when its ckpt dir moved off wiped /tmp).
+    _IO_SINK_FIELDS = (("train", "ckpt_dir"), ("train", "sample_dir"),
+                       ("eval", "save"), ("eval", "savetar"),
+                       ("eval", "saveres"))
+
     def hash(self) -> str:
-        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+        """Semantic config hash for checkpoint-resume compatibility checks —
+        covers everything that affects the training computation, not where
+        artifacts are written."""
+        d = self.to_dict()
+        for section, name in self._IO_SINK_FIELDS:
+            d[section].pop(name, None)
+        return hashlib.sha256(
+            json.dumps(d, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
 
     def replace(self, **sections) -> "Config":
         return dataclasses.replace(self, **sections)

@@ -100,3 +100,29 @@ class TestCheckpoint:
         path = save_checkpoint(str(tmp_path / "c"), {"w": jnp.ones((2,))})
         with pytest.raises(KeyError):
             load_checkpoint(path, {"w": jnp.ones((2,)), "extra": jnp.ones((1,))})
+
+
+class TestConfigHash:
+    """The resume-compat hash covers training SEMANTICS, not IO sinks —
+    relocating the checkpoint dir (the standard preemption-recovery move on
+    this sandbox's wiped /tmp) must not trip resume_config_mismatch."""
+
+    def test_io_sink_fields_do_not_change_hash(self):
+        import dataclasses
+
+        from rcot_tpu.utils.config import Config
+
+        a = Config()
+        b = a.replace(train=dataclasses.replace(
+            a.train, ckpt_dir="/elsewhere/ckpt", sample_dir="/elsewhere/s"))
+        assert a.hash() == b.hash()
+
+    def test_semantic_fields_do_change_hash(self):
+        import dataclasses
+
+        from rcot_tpu.utils.config import Config
+
+        a = Config()
+        c = a.replace(train=dataclasses.replace(a.train, lr=5e-4))
+        d = a.replace(data=dataclasses.replace(a.data, patch_size=64))
+        assert a.hash() != c.hash() and a.hash() != d.hash()

@@ -173,37 +173,6 @@ class TestCritic:
             assert p["fc"]["w"].shape[0] == patch * patch // 2
 
 
-class TestCriticS2D:
-    def test_s2d_stride2_matches_strided_conv(self, monkeypatch):
-        """conv2d_s2d_stride2 == the strided lowering: forward values and
-        input gradients (the GP path differentiates wrt the critic input)."""
-        cfg = CriticConfig(patch_size=32)
-        p = init_fnet(jax.random.PRNGKey(0), cfg)
-        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
-
-        monkeypatch.delenv("RCOT_CRITIC_S2D", raising=False)
-        base = apply_fnet(p, x, cfg)
-        gbase = jax.grad(lambda x: jnp.sum(apply_fnet(p, x, cfg)))(x)
-        monkeypatch.setenv("RCOT_CRITIC_S2D", "1")
-        s2d = apply_fnet(p, x, cfg)
-        gs2d = jax.grad(lambda x: jnp.sum(apply_fnet(p, x, cfg)))(x)
-
-        assert jnp.allclose(base, s2d, atol=5e-5), float(jnp.abs(base - s2d).max())
-        # conv reassociation noise only (f32, well under 1e-3 relative); tight
-        # enough that a border-tap error in the s2d input-gradient path trips it
-        scale = float(jnp.abs(gbase).max()) + 1e-12
-        assert float(jnp.abs(gbase - gs2d).max()) / scale < 1e-3
-
-    def test_s2d_odd_size_falls_back(self, monkeypatch):
-        """Odd spatial sizes (possible under the pooled head) must route to
-        the strided conv, not crash in the s2d reshape."""
-        monkeypatch.setenv("RCOT_CRITIC_S2D", "1")
-        cfg = CriticConfig(patch_size=32, head="pooled")
-        p = init_fnet(jax.random.PRNGKey(0), cfg)
-        y = apply_fnet(p, jnp.ones((1, 33, 33, 3)), cfg)
-        assert y.shape == (1,)
-
-
 class TestCriticGuards:
     def test_flatten_head_requires_mod32_patch(self):
         import jax

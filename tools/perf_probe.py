@@ -50,8 +50,6 @@ def emit(rec):
         rec["bwd_bf16"] = os.environ["RCOT_BWD_BF16"]  # keep tier-list value
     if os.environ.get("RCOT_SINGLE_FWD"):
         rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
-    if dispatch.critic_s2d_on():
-        rec["critic_s2d"] = True
     if os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
         rec["scan_blocks"] = os.environ.get("RCOT_SCAN_MIN_BLOCKS", True)
     if os.environ.get("RCOT_REMAT", "") not in ("", "0"):
