@@ -58,6 +58,9 @@ def _composition():
         parts.append("gram" if dispatch.gram_combined_on() else "gram-split")
     if dispatch.pallas_block_on():
         parts.append(f"block-{dispatch.block_mode()}")
+    bf16 = os.environ.get("RCOT_BWD_BF16", "0")
+    if bf16 not in ("", "0"):
+        parts.append("bwd-bf16" if bf16 in ("1", "all") else f"bwd-bf16[{bf16}]")
     return "+".join(parts) or "xla-only"
 
 

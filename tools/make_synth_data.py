@@ -132,8 +132,13 @@ def main():
         rainy = add_rain(rng, clean)
         if val:
             k = i - args.n
+            # target named per the reference GT rule input 'rain-N' ->
+            # target 'norain-N' (util/dataset_utils.py:383-388) so BOTH the
+            # trainer's sorted-glob eval (tester.py:55-58 semantics) and
+            # DerainDehazeDataset._gt_path resolve it. Round-3 phase 4 died
+            # on the same-name scheme here (perf/r3_phase4.log).
             save(f"{r}/val/derain/input/rain-{k}.png", rainy)
-            save(f"{r}/val/derain/target/rain-{k}.png", clean)
+            save(f"{r}/val/derain/target/norain-{k}.png", clean)
         else:
             save(f"{r}/Derain/rainy/rain-{i}.png", rainy)
             save(f"{r}/Derain/gt/norain-{i}.png", clean)
@@ -142,8 +147,10 @@ def main():
         hazy = add_haze(rng, clean)
         if val:
             k = i - args.n
+            # reference dehaze GT rule: input '<p>_hazy' -> target '<p>.png'
+            # (util/dataset_utils.py:389-393)
             save(f"{r}/val/dehaze/input/h{k}_hazy.png", hazy)
-            save(f"{r}/val/dehaze/target/h{k}_hazy.png", clean)
+            save(f"{r}/val/dehaze/target/h{k}.png", clean)
         else:
             save(f"{r}/Dehaze/synthetic/h{i}_hazy.png", hazy)
             save(f"{r}/Dehaze/original/h{i}.png", clean)

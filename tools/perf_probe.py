@@ -50,6 +50,9 @@ def emit(rec):
         rec["bwd_bf16"] = os.environ["RCOT_BWD_BF16"]  # keep tier-list value
     if os.environ.get("RCOT_SINGLE_FWD"):
         rec["single_fwd"] = os.environ["RCOT_SINGLE_FWD"]
+    for env in ("RCOT_INFER_RES", "RCOT_INFER_BATCH"):
+        if os.environ.get(env):
+            rec[env.removeprefix("RCOT_").lower()] = int(os.environ[env])
     if os.environ.get("RCOT_SCAN_BLOCKS", "") not in ("", "0"):
         rec["scan_blocks"] = os.environ.get("RCOT_SCAN_MIN_BLOCKS", True)
     if os.environ.get("RCOT_REMAT", "") not in ("", "0"):
@@ -173,13 +176,17 @@ def run(task):
         fl = flops_of(c)
         dt = timeit(c, (state.t_params, batch.degraded))
     elif kind == "infer":
+        # res/batch via RCOT_INFER_RES / RCOT_INFER_BATCH (VERDICT r3 #3:
+        # the inference composition space — forward-only programs have no
+        # backward co-compile wall, so gram+FULL may be free speed)
         from rcot_tpu.models.restormer import apply_tnet
-        x = jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
+        res = int(os.environ.get("RCOT_INFER_RES", "256"))
+        bs = int(os.environ.get("RCOT_INFER_BATCH", "1"))
+        x = jnp.zeros((bs, res, res, 3), jnp.bfloat16)
         fn = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
         c = fn.lower(state.t_params, x).compile()
         fl = flops_of(c)
         dt = timeit(c, (state.t_params, x))
-        bs = 1
     else:
         raise SystemExit(f"unknown kind {kind}")
 
