@@ -6,6 +6,20 @@ building blocks of a unified harness it never shipped. This CLI is that
 harness: one checkpoint, many tasks, per-task PSNR/SSIM (+optional noise
 sigmas for denoise), one JSON summary.
 
+Hardened after the round-3 phase-4 loss (perf/r3_phase4.log: the derain GT
+folder was mis-named, the task crashed mid-generator, and the denoise rows
+already computed evaporated because the summary was only written at the end):
+- every task's folders AND every derived GT path are validated UP FRONT
+  (the trainer's fail-fast pattern, train/trainer.py fit());
+- each task runs isolated — a failing task records {"error": ...} and the
+  remaining tasks still run;
+- the summary JSON is (re)written after EVERY task, so partial results
+  survive any later crash;
+- per-item failures (unreadable file, degraded/target shape mismatch) are
+  skipped LOUDLY — logged with the reason and counted in the task row;
+- each task row carries the input baseline (degraded-vs-target PSNR/SSIM),
+  so "the model beats identity" is machine-checkable from the JSON alone.
+
   python -m rcot_tpu.cli.eval_all --ckpt ckpt.npz \
       --denoise-path data/test/BSD68/ --sigmas 15 25 50 \
       --derain-path data/test/Rain100L/ --dehaze-path data/test/SOTS/ \
@@ -16,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -35,20 +50,64 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _eval_items(restorer, items, psnr_fn, ssim_fn):
+def _eval_items(restorer, items, psnr_fn, ssim_fn, task: str):
+    """Evaluate one task; skips are loud (logged + counted), never silent."""
     import jax.numpy as jnp
 
     from ..metrics.quality import AverageMeter
     pm, sm = AverageMeter(), AverageMeter()
+    ipm, ism = AverageMeter(), AverageMeter()  # input (identity) baseline
+    skipped = 0
     for name, deg, clean in items:
-        out = restorer(deg)
-        pm.update(float(psnr_fn(jnp.asarray(out), jnp.asarray(clean))))
-        sm.update(float(ssim_fn(jnp.asarray(out) * 255.0,
-                                jnp.asarray(clean) * 255.0)))
-    return {"psnr": round(pm.avg, 4), "ssim": round(sm.avg, 5), "n": pm.count}
+        if deg.shape != clean.shape:
+            skipped += 1
+            print(f"eval_skip task={task} item={name} reason=shape_mismatch "
+                  f"deg={deg.shape} target={clean.shape}", flush=True)
+            continue
+        try:
+            out = restorer(deg)
+        except Exception as e:
+            skipped += 1
+            print(f"eval_skip task={task} item={name} "
+                  f"reason={type(e).__name__}: {e}", flush=True)
+            continue
+        clean_j = jnp.asarray(clean)
+        pm.update(float(psnr_fn(jnp.asarray(out), clean_j)))
+        sm.update(float(ssim_fn(jnp.asarray(out) * 255.0, clean_j * 255.0)))
+        ipm.update(float(psnr_fn(jnp.asarray(deg), clean_j)))
+        ism.update(float(ssim_fn(jnp.asarray(deg) * 255.0, clean_j * 255.0)))
+    row = {"psnr": round(pm.avg, 4), "ssim": round(sm.avg, 5), "n": pm.count,
+           "input_psnr": round(ipm.avg, 4), "input_ssim": round(ism.avg, 5)}
+    if skipped:
+        row["skipped"] = skipped
+    return row
 
 
-def main(argv=None) -> None:
+def _validate_paired(ds) -> None:
+    """Fail fast (with EVERY missing path, not just the first) before any
+    compute: the GT-path rules (reference util/dataset_utils.py:383-397) are
+    derivation rules, so a mis-built tree must surface as one clear error."""
+    import os
+    if not ds.ids:
+        raise FileNotFoundError(f"no input images for task {ds.task!r}")
+    missing = [gt for gt in (ds._gt_path(p) for p in ds.ids)
+               if not os.path.isfile(gt)]
+    if missing:
+        head = ", ".join(missing[:3])
+        raise FileNotFoundError(
+            f"{len(missing)}/{len(ds.ids)} derived GT paths missing for "
+            f"task {ds.task!r} (first: {head})")
+
+
+def _write_summary(args, results) -> str:
+    summary = json.dumps({"ckpt": args.ckpt, "results": results}, indent=2)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(summary)
+    return summary
+
+
+def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp
@@ -68,45 +127,62 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         backbone=backbone)
 
-    results = {}
+    # (key, build) pairs; build() -> item iterable, validating up front
+    tasks = []
     if args.denoise_path:
-        ds = DenoiseTestDataset(args.denoise_path)
         for sigma in args.sigmas:
-            ds.set_sigma(sigma)
-            items = (ds[i] for i in range(len(ds)))
             # :g keeps fractional sigmas distinct (int() made 15.2 and 15.8
-            # collide on the same key and silently overwrite each other)
-            key = f"denoise_sigma{sigma:g}"
-            results[key] = _eval_items(restorer, items, psnr, ssim_ref_single)
-            print(f"denoise σ={sigma}: {results[key]}", flush=True)
-    if args.derain_path or args.dehaze_path:
-        ds = DerainDehazeDataset(args.derain_path or "", args.dehaze_path or "",
-                                 task="derain" if args.derain_path else "dehaze")
-        for task, path in (("derain", args.derain_path),
-                           ("dehaze", args.dehaze_path)):
-            if not path:
-                continue
-            ds.set_dataset(task)
-            items = (ds[i] for i in range(len(ds)))
-            results[task] = _eval_items(restorer, items, psnr, ssim_ref_single)
-            print(f"{task}: {results[task]}", flush=True)
-    if args.deblur_dir:
-        ds = DeblurTestDataset(args.deblur_dir)
-        items = (ds[i] for i in range(len(ds)))
-        results["deblur"] = _eval_items(restorer, items, psnr, ssim_ref_single)
-        print(f"deblur: {results['deblur']}", flush=True)
-    if args.lowlight_dir:
-        ds = LowLightTestDataset(args.lowlight_dir)
-        items = (ds[i] for i in range(len(ds)))
-        results["lowlight"] = _eval_items(restorer, items, psnr, ssim_ref_single)
-        print(f"lowlight: {results['lowlight']}", flush=True)
+            # collide on the same key and silently overwrite each other).
+            # Dataset construction happens INSIDE build() so a bad folder is
+            # a per-task error, not a whole-CLI crash.
+            def build(sigma=sigma):
+                ds = DenoiseTestDataset(args.denoise_path, sigma=sigma)
+                if not len(ds):
+                    raise FileNotFoundError(
+                        f"no images in {args.denoise_path!r}")
+                return (ds[i] for i in range(len(ds)))
+            tasks.append((f"denoise_sigma{sigma:g}", build))
+    for task, path in (("derain", args.derain_path),
+                       ("dehaze", args.dehaze_path)):
+        if not path:
+            continue
 
-    summary = json.dumps({"ckpt": args.ckpt, "results": results}, indent=2)
-    print(summary)
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            f.write(summary)
+        def build(task=task, path=path):
+            ds = DerainDehazeDataset(
+                args.derain_path or "", args.dehaze_path or "", task=task)
+            _validate_paired(ds)
+            return (ds[i] for i in range(len(ds)))
+        tasks.append((task, build))
+    if args.deblur_dir:
+        def build(path=args.deblur_dir):
+            ds = DeblurTestDataset(path)
+            return (ds[i] for i in range(len(ds)))
+        tasks.append(("deblur", build))
+    if args.lowlight_dir:
+        def build(path=args.lowlight_dir):
+            ds = LowLightTestDataset(path)
+            return (ds[i] for i in range(len(ds)))
+        tasks.append(("lowlight", build))
+
+    results = {}
+    failed = 0
+    for key, build in tasks:
+        try:
+            items = build()
+            results[key] = _eval_items(restorer, items, psnr,
+                                       ssim_ref_single, key)
+        except Exception as e:
+            failed += 1
+            results[key] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"task {key} FAILED: {results[key]['error']}",
+                  file=sys.stderr, flush=True)
+        else:
+            print(f"{key}: {results[key]}", flush=True)
+        _write_summary(args, results)  # partial results survive a crash
+
+    print(_write_summary(args, results))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

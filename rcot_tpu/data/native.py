@@ -21,8 +21,20 @@ _NATIVE_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 _LIB_PATH = os.path.join(_NATIVE_DIR, "librcot_patchloader.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "patchloader.cc")
+# persistent negative cache: holds the source mtime whose build failed, so
+# every fresh process (incl. loader workers on a 1-core host) does not
+# re-pay a deterministic compile failure (advisor r3); deleted on success
+# and ignored once patchloader.cc changes
+_FAIL_SENTINEL = _LIB_PATH + ".buildfail"
 _lib = None
 _tried = False
+
+
+def _src_mtime() -> str:
+    try:
+        return repr(os.path.getmtime(_SRC_PATH))
+    except OSError:
+        return ""
 
 
 def _maybe_build() -> None:
@@ -38,6 +50,12 @@ def _maybe_build() -> None:
         fresh = False
     if fresh:
         return
+    try:
+        with open(_FAIL_SENTINEL) as f:
+            if f.read().strip() == _src_mtime():
+                return  # this exact source already failed to build
+    except OSError:
+        pass
     tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
            _SRC_PATH, "-lpng", "-ljpeg", "-lpthread"]
@@ -45,19 +63,35 @@ def _maybe_build() -> None:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if proc.returncode == 0:
             os.replace(tmp, _LIB_PATH)
+            try:
+                os.remove(_FAIL_SENTINEL)
+            except OSError:
+                pass
         else:
             print(f"rcot_tpu: native patchloader build failed "
                   f"(falling back to PIL):\n{proc.stderr[-500:]}",
                   file=sys.stderr)
+            _write_fail_sentinel()
     except (OSError, subprocess.TimeoutExpired) as e:
         print(f"rcot_tpu: native patchloader build unavailable ({e}); "
               f"falling back to PIL", file=sys.stderr)
+        _write_fail_sentinel()
     finally:
         if os.path.exists(tmp):
             try:
                 os.remove(tmp)
             except OSError:
                 pass
+
+
+def _write_fail_sentinel() -> None:
+    try:
+        tmp = f"{_FAIL_SENTINEL}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(_src_mtime())
+        os.replace(tmp, _FAIL_SENTINEL)
+    except OSError:
+        pass
 
 
 def _load():

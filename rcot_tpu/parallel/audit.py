@@ -33,29 +33,42 @@ COLLECTIVE_KINDS = ("all-reduce", "all-gather", "reduce-scatter",
 # pair — counting only -start avoids double-counting with -done)
 _LINE = re.compile(
     r"=\s*(\([^)]*\)|[a-z0-9]+\[[^\]]*\])\S*\s+(" +
-    "|".join(COLLECTIVE_KINDS) + r")(?:-start)?\(")
+    "|".join(COLLECTIVE_KINDS) + r")((?:-start)?)\(")
 _SHAPE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
-# replica_groups come in two syntaxes: explicit {{0,1},{2,3}} lists and the
-# iota form [n_groups,group_size]<=[total] (optionally transposed); permutes
-# carry source_target_pairs instead.
+# replica_groups come in three syntaxes: explicit {{0,1},{2,3}} lists, the
+# iota form [n_groups,group_size]<=[total] (optionally transposed), and the
+# empty list {} meaning ALL devices; permutes carry source_target_pairs
+# instead.
 _GROUPS = re.compile(r"replica_groups=\{?\{([0-9,]+)\}")
 _GROUPS_IOTA = re.compile(r"replica_groups=\[\d+,(\d+)\]<=\[")
+_GROUPS_EMPTY = re.compile(r"replica_groups=\{\}")
 _PAIRS = re.compile(r"source_target_pairs=\{\{(\d+),(\d+)\}")
 
 
-def _group_size(line: str) -> Optional[int]:
+def _group_size(line: str, n_devices: Optional[int] = None) -> Optional[int]:
     m = _GROUPS_IOTA.search(line)
     if m:
         return int(m.group(1))
     m = _GROUPS.search(line)
     if m:
         return len(m.group(1).split(","))
+    if _GROUPS_EMPTY.search(line):
+        # {} = one group of every device (advisor r3: these were counted
+        # but never axis-classified, blinding the 'zero data-axis bytes'
+        # assertions to whole-mesh collectives)
+        return n_devices
     return None
 
 
-def shape_bytes(shape_str: str) -> int:
-    """Payload bytes of an HLO shape string (tuples sum their components)."""
-    total = 0
+def shape_bytes(shape_str: str, is_start: bool = False) -> int:
+    """Payload bytes of an HLO shape string (tuples sum their components).
+
+    Async `-start` tuples carry (operands..., results..., context tokens):
+    counting the whole tuple would double the payload relative to the sync
+    form (advisor r3). For those, drop the dimensionless context scalars and
+    keep only the result half.
+    """
+    comps = []
     for dtype, dims in _SHAPE.findall(shape_str):
         if dtype not in _DTYPE_BYTES:
             continue
@@ -63,13 +76,18 @@ def shape_bytes(shape_str: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        comps.append((dims, n * _DTYPE_BYTES[dtype]))
+    if is_start and len(comps) >= 2:
+        data = [b for dims, b in comps if dims != ""]
+        if len(data) >= 2 and len(data) % 2 == 0:
+            return sum(data[len(data) // 2:])
+    return sum(b for _, b in comps)
 
 
 def audit_hlo(hlo_text: str,
               axis_by_group_size: Optional[Dict[int, str]] = None,
-              axis_by_stride: Optional[Dict[int, str]] = None) -> dict:
+              axis_by_stride: Optional[Dict[int, str]] = None,
+              n_devices: Optional[int] = None) -> dict:
     """Count collectives + payload bytes per kind in compiled HLO text.
 
     Returns {"per_kind": {kind: {count, bytes, by_axis}}, "total": {...}};
@@ -85,13 +103,14 @@ def audit_hlo(hlo_text: str,
         m = _LINE.search(line)
         if not m:
             continue
-        shape_str, kind = m.group(1), m.group(2)
+        shape_str, kind, is_start = m.group(1), m.group(2), bool(m.group(3))
+        nbytes = shape_bytes(shape_str, is_start)
         rec = per_kind.setdefault(
             kind, {"count": 0, "bytes": 0, "by_axis": {}})
         rec["count"] += 1
-        rec["bytes"] += shape_bytes(shape_str)
+        rec["bytes"] += nbytes
         axis = None
-        size = _group_size(line)
+        size = _group_size(line, n_devices)
         if size is not None and axis_by_group_size:
             axis = axis_by_group_size.get(size, f"groups-of-{size}")
         else:
@@ -103,7 +122,7 @@ def audit_hlo(hlo_text: str,
         if axis is not None:
             ax = rec["by_axis"].setdefault(axis, {"count": 0, "bytes": 0})
             ax["count"] += 1
-            ax["bytes"] += shape_bytes(shape_str)
+            ax["bytes"] += nbytes
     total = {"count": sum(r["count"] for r in per_kind.values()),
              "bytes": sum(r["bytes"] for r in per_kind.values())}
     return {"per_kind": per_kind, "total": total}

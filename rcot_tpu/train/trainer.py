@@ -168,7 +168,8 @@ class Trainer:
         self.host_step = int(state.step)
         self.start_epoch = int(meta.get("epoch", 1))
         self.start_step = int(meta.get("epoch_step", 0))
-        if meta.get("config_hash") not in (None, self.cfg.hash()):
+        if meta.get("config_hash") not in (None, self.cfg.hash(),
+                                           self.cfg.hash_legacy()):
             self.log.log("resume_config_mismatch", ckpt=path,
                          ckpt_hash=meta.get("config_hash"),
                          run_hash=self.cfg.hash())
@@ -316,15 +317,25 @@ class Trainer:
         else:
             self._restorer.update_params(self.state.t_params)
         restorer = self._restorer
-        total, n = 0.0, 0
+        total, n, skipped = 0.0, 0, 0
         for deg_path, tar_path in eval_pairs(degset, tarset):
             deg = load_rgb(deg_path).astype(np.float32) / 255.0
             tar = load_rgb(tar_path).astype(np.float32) / 255.0
             if deg.shape != tar.shape:
+                # mirrors the reference's skip (trainer.py:195-196) but
+                # LOUDLY: a mis-built val tree must not shrink the eval set
+                # invisibly (that is how round-3 phase 4 lost its eval)
+                skipped += 1
+                self.log.log("eval_skip", degraded=deg_path, target=tar_path,
+                             reason="shape_mismatch",
+                             deg_shape=list(deg.shape),
+                             tar_shape=list(tar.shape))
                 continue
             out = restorer(deg)
             total += float(psnr(jnp.asarray(out), jnp.asarray(tar), 1.0))
             n += 1
+        if skipped:
+            self.log.log("eval_skipped_total", skipped=skipped, evaluated=n)
         return total / n if n else float("nan")
 
     def fit(self, *, eval_degset: Optional[str] = None,

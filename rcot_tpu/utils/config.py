@@ -209,6 +209,14 @@ class Config:
             json.dumps(d, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
 
+    def hash_legacy(self) -> str:
+        """The pre-round-4 hash scheme (every field, IO sinks included).
+        Checkpoints written before the IO-sink exclusion store this value,
+        so resume accepts it as a known alias — otherwise every old
+        checkpoint logs a spurious one-time resume_config_mismatch even
+        with an identical config (advisor r3)."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
     def replace(self, **sections) -> "Config":
         return dataclasses.replace(self, **sections)
 

@@ -126,3 +126,55 @@ class TestConfigHash:
         c = a.replace(train=dataclasses.replace(a.train, lr=5e-4))
         d = a.replace(data=dataclasses.replace(a.data, patch_size=64))
         assert a.hash() != c.hash() and a.hash() != d.hash()
+
+    def test_legacy_hash_accepted_on_resume(self, tmp_path):
+        """Checkpoints written before the IO-sink exclusion store the
+        old-scheme (all-fields) hash; resuming them with an identical
+        config must NOT log resume_config_mismatch (advisor r3)."""
+        import json
+
+        import jax
+
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.train.trainer import Trainer
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+        from rcot_tpu.utils.config import (Config, CriticConfig, DataConfig,
+                                           ModelConfig, TrainConfig)
+
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        root = tmp_path / "tr"
+        os.makedirs(root / "Derain" / "rainy")
+        os.makedirs(root / "Derain" / "gt")
+        os.makedirs(root / "manifests" / "rainy")
+        rng = np.random.default_rng(0)
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                        ).save(root / "Derain" / "rainy" / "rain-0.png")
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                        ).save(root / "Derain" / "gt" / "norain-0.png")
+        (root / "manifests" / "rainy" / "rainTrain.txt").write_text(
+            "rainy/rain-0.png\n")
+        cfg = Config(
+            model=ModelConfig(dim=8, num_blocks=(1, 1, 1, 1),
+                              num_refinement_blocks=1, parity_params=False),
+            critic=CriticConfig(patch_size=32),
+            data=DataConfig(de_type=("derain",), patch_size=32,
+                            data_file_dir=str(root / "manifests") + "/",
+                            derain_dir=str(root / "Derain") + "/"),
+            train=TrainConfig(batch_size=2,
+                              ckpt_dir=str(tmp_path / "ckpt")))
+        assert cfg.hash_legacy() != cfg.hash()
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        path = save_checkpoint(
+            str(tmp_path / "old_step0"), state,
+            metadata={"epoch": 1, "step": 0, "config": cfg.to_dict(),
+                      "config_hash": cfg.hash_legacy()})
+        log = str(tmp_path / "log.jsonl")
+        tr = Trainer(cfg, log_path=log)
+        tr.resume(path)
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert "resume_config_mismatch" not in events
+        assert "resumed" in events

@@ -1,6 +1,7 @@
 """CLI glue tests: flag parsing, preset overlays, reference-flag aliases,
 and an end-to-end tester drive (batched inference + LPIPS)."""
 
+import json
 import os
 
 import numpy as np
@@ -151,6 +152,62 @@ class TestEvalAllCLI:
         assert args.sigmas == [15, 50]
         assert args.derain_path is None
 
+    def test_validate_paired_reports_all_missing_gts(self, tmp_path):
+        """GT paths are derivation rules (reference util/dataset_utils.py:
+        383-397), so a mis-built tree must fail up front with the full
+        missing list — not crash mid-eval on the first item (that crash
+        lost round-3's per-type eval, perf/r3_phase4.log)."""
+        from PIL import Image
+
+        from rcot_tpu.cli.eval_all import _validate_paired
+        from rcot_tpu.data.eval_datasets import DerainDehazeDataset
+
+        rng = np.random.default_rng(0)
+        os.makedirs(tmp_path / "input")
+        os.makedirs(tmp_path / "target")
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                            ).save(tmp_path / "input" / f"rain-{i}.png")
+        # only rain-1's GT exists under the reference naming rule
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(tmp_path / "target" / "norain-1.png")
+        ds = DerainDehazeDataset(str(tmp_path), "", task="derain")
+        with pytest.raises(FileNotFoundError, match="2/3"):
+            _validate_paired(ds)
+
+    def test_failing_task_is_isolated_and_json_partial(self, tiny_config,
+                                                       tmp_path):
+        """A task whose folders are mis-built records {'error': ...} and a
+        nonzero exit — WITHOUT killing the other tasks or the summary JSON
+        (round-3 phase 4 wrote the JSON only at the end and lost every row
+        already computed)."""
+        import jax
+
+        from rcot_tpu.cli.eval_all import main as eval_main
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), tiny_config)
+        ckpt = save_checkpoint(
+            str(tmp_path / "m_step0"), state,
+            metadata={"config": tiny_config.to_dict()})
+        # derain tree with inputs but NO targets -> up-front validation error
+        os.makedirs(tmp_path / "derain" / "input")
+        os.makedirs(tmp_path / "derain" / "target")
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(tmp_path / "derain" / "input" / "rain-0.png")
+
+        out_json = tmp_path / "summary.json"
+        rc = eval_main(["--ckpt", ckpt,
+                        "--derain-path", str(tmp_path / "derain"),
+                        "--json-out", str(out_json)])
+        assert rc == 1
+        results = json.loads(out_json.read_text())["results"]
+        assert "error" in results["derain"]
+        assert "missing" in results["derain"]["error"]
+
 
 class TestTestCLI:
     def test_parser_defaults(self):
@@ -229,7 +286,12 @@ class TestTesterCLI:
         import json as _json
         summary = _json.loads(out_json.read_text())["results"]
         assert "denoise_sigma25" in summary
-        assert np.isfinite(summary["denoise_sigma25"]["psnr"])
+        row = summary["denoise_sigma25"]
+        assert np.isfinite(row["psnr"])
+        # the input (identity) baseline makes "beats identity" checkable
+        # from the JSON alone (VERDICT r3 weak #5)
+        assert np.isfinite(row["input_psnr"]) and np.isfinite(row["input_ssim"])
+        assert "skipped" not in row and row["n"] == 1
 
     def test_rcot_test_noise_mode(self, tmp_path, capsys):
         """tester_noise parity mode: --noise-sigma synthesizes seeded noise

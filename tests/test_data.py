@@ -202,6 +202,38 @@ class TestLoader:
             np.testing.assert_array_equal(bn.degraded, bp.degraded)
             np.testing.assert_array_equal(bn.clean, bp.clean)
 
+    def test_native_build_failure_is_cached(self, tmp_path, monkeypatch):
+        """A deterministic compile failure must not be re-paid by every
+        fresh process (advisor r3: on a 1-core host each loader worker
+        repaid up to the 120 s build timeout): the first failure writes a
+        sentinel keyed to the source mtime, later attempts skip g++ until
+        patchloader.cc changes."""
+        from rcot_tpu.data import native
+
+        src = tmp_path / "patchloader.cc"
+        src.write_text("int broken(")
+        monkeypatch.setattr(native, "_SRC_PATH", str(src))
+        monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "lib.so"))
+        monkeypatch.setattr(native, "_FAIL_SENTINEL",
+                            str(tmp_path / "lib.so.buildfail"))
+        calls = []
+        real_run = native.subprocess.run
+
+        def counting_run(cmd, **kw):
+            calls.append(cmd)
+            return real_run(["false"], capture_output=True, text=True)
+
+        monkeypatch.setattr(native.subprocess, "run", counting_run)
+        native._maybe_build()
+        assert len(calls) == 1
+        assert os.path.exists(tmp_path / "lib.so.buildfail")
+        native._maybe_build()  # sentinel hit: no second compile attempt
+        assert len(calls) == 1
+        # a changed source invalidates the sentinel
+        os.utime(src, (os.path.getmtime(src) + 10,) * 2)
+        native._maybe_build()
+        assert len(calls) == 2
+
     def test_per_host_sharding_disjoint(self, fake_data):
         cfg = Config(data=fake_data, train=TrainConfig(batch_size=2))
         l0 = TrainLoader(cfg, seed=3, process_index=0, process_count=2)

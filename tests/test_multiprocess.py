@@ -48,6 +48,61 @@ def _make_tree(root: str) -> None:
         f.write("rainy/rain-0.png\n")
 
 
+def test_four_process_distributed_training(tmp_path):
+    """4 controllers x 1 device each (VERDICT r3 #6): >2-party rendezvous,
+    the strided per-host index split at pc=4, gradient all-reduce across
+    four processes, and lead-only writes with three non-leads racing.
+    Same global program as the 2-process test (4 devices, global batch 4)."""
+    tree = str(tmp_path / "tree")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _make_tree(tree)
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(ROOT, "tests", "mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "4", coord, tree, out,
+             "1", "1"],  # 1 local device, per-host batch 1
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("4-process workers timed out")
+        outs.append(stdout)
+    for p, stdout in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+
+    results = []
+    for pid in range(4):
+        with open(os.path.join(out, f"result_p{pid}.json")) as f:
+            results.append(json.load(f))
+
+    # identical post-epoch params on ALL four controllers
+    for r in results[1:]:
+        assert r["t_checksum"] == results[0]["t_checksum"]
+        assert r["f_checksum"] == results[0]["f_checksum"]
+    assert np.isfinite(results[0]["t_loss"])
+
+    # checkpoint + log written by process 0 only, three racing non-leads
+    assert results[0]["ckpt_written"]
+    assert not any(r["ckpt_written"] for r in results[1:])
+    for pid in range(1, 4):
+        d = os.path.join(out, f"ckpt_p{pid}")
+        assert not os.path.isdir(d) or not os.listdir(d)
+    assert os.path.getsize(os.path.join(out, "log_p0.jsonl")) > 0
+
+
 def test_two_process_distributed_training(tmp_path):
     tree = str(tmp_path / "tree")
     out = str(tmp_path / "out")

@@ -187,6 +187,26 @@ class TestCollectiveAudit:
             "count"] == 1
         assert rep["total"]["count"] == 3
 
+    def test_audit_hlo_async_start_and_empty_groups(self):
+        """Advisor r3: (a) async -start tuples carry operand+result+context,
+        so only the result half is payload; (b) replica_groups={} means ALL
+        devices and must classify through n_devices."""
+        from rcot_tpu.parallel.audit import audit_hlo
+        hlo = "\n".join([
+            # async all-gather-start: (operand, result, ctx, ctx) — payload
+            # is the result component only (256 f32 = 1024 bytes)
+            "  %ags = (f32[128]{0}, f32[256]{0}, u32[], u32[]) "
+            "all-gather-start(%x), replica_groups=[4,2]<=[8], dimensions={0}",
+            # empty groups = one group of all 8 devices
+            "  %ar = f32[16]{0} all-reduce(%y), replica_groups={}, "
+            "to_apply=%add",
+        ])
+        rep = audit_hlo(hlo, {2: "tensor", 8: "mesh"}, n_devices=8)
+        assert rep["per_kind"]["all-gather"]["bytes"] == 256 * 4
+        assert rep["per_kind"]["all-gather"]["by_axis"]["tensor"]["bytes"] \
+            == 256 * 4
+        assert rep["per_kind"]["all-reduce"]["by_axis"]["mesh"]["count"] == 1
+
     def test_dp_forward_needs_no_collectives(self, mesh8, tiny_model_cfg):
         """Pure DP inference is embarrassingly parallel: replicated params +
         data-sharded batch must compile to ZERO collectives."""
@@ -210,7 +230,8 @@ class TestCollectiveAudit:
         hlo = jax.jit(
             lambda p, x: apply_tnet(p, x, tiny_model_cfg)[0]).lower(
                 p, x).compile().as_text()
-        rep = audit_hlo(hlo, {2: "tensor", 4: "data", 8: "data*tensor"})
+        rep = audit_hlo(hlo, {2: "tensor", 4: "data", 8: "data*tensor"},
+                        n_devices=8)
         reduces = (rep["per_kind"].get("all-reduce", {"count": 0})["count"]
                    + rep["per_kind"].get("reduce-scatter",
                                          {"count": 0})["count"])

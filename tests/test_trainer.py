@@ -78,6 +78,36 @@ class TestTrainerLoop:
         assert tr.host_step == 0
 
     @pytest.mark.slow
+    def test_eval_shape_mismatch_skips_loudly(self, data_tree, tmp_path):
+        """A degraded/target pair with mismatched shapes is skipped like the
+        reference does (trainer.py:195-196) but must be LOGGED: a mis-built
+        val tree shrinking the eval set invisibly is exactly how round-3
+        phase 4 lost its per-type eval (VERDICT r3 weak #6)."""
+        from PIL import Image as _Image
+        cfg = make_cfg(data_tree, tmp_path)
+        log = str(tmp_path / "log.jsonl")
+        tr = Trainer(cfg, log_path=log)
+        tr.init_state()
+        rng = np.random.default_rng(3)
+        deg_dir, tar_dir = tmp_path / "vdeg", tmp_path / "vtar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        # pair 0 matches; pair 1 is shape-mismatched
+        for name, dshape, tshape in (("a.png", (32, 32), (32, 32)),
+                                     ("b.png", (32, 32), (32, 48))):
+            _Image.fromarray(rng.integers(0, 255, (*dshape, 3), dtype=np.uint8)
+                             ).save(deg_dir / name)
+            _Image.fromarray(rng.integers(0, 255, (*tshape, 3), dtype=np.uint8)
+                             ).save(tar_dir / name)
+        p = tr.evaluate_folder(str(deg_dir), str(tar_dir))
+        assert np.isfinite(p)  # the matching pair still evaluated
+        events = [json.loads(l) for l in open(log)]
+        skips = [e for e in events if e["event"] == "eval_skip"]
+        assert len(skips) == 1 and skips[0]["reason"] == "shape_mismatch"
+        totals = [e for e in events if e["event"] == "eval_skipped_total"]
+        assert totals and totals[0]["skipped"] == 1 and totals[0]["evaluated"] == 1
+
+    @pytest.mark.slow
     def test_recovery_cycle(self, data_tree, tmp_path):
         """Fail mid-epoch, resume from the mid-epoch checkpoint, finish:
         the recovery path from SURVEY.md §5 (failure detection / resume)."""

@@ -81,13 +81,13 @@ def main(full: bool) -> dict:
 
     mesh_dp = make_mesh(data=n, devices=jax.devices()[:n])
     hlo = _train_iteration_hlo(mesh_dp, cfg)
-    report["configs"]["dp8"] = audit_hlo(hlo, {n: "data"}, {1: "data"})
+    report["configs"]["dp8"] = audit_hlo(hlo, {n: "data"}, {1: "data"}, n_devices=n)
 
     mesh_tp = make_mesh(data=n // 2, tensor=2, devices=jax.devices()[:n])
     hlo = _train_iteration_hlo(mesh_tp, cfg, tensor=True)
     report["configs"]["dp4xtp2"] = audit_hlo(
         hlo, {2: "tensor", n // 2: "data", n: "data*tensor"},
-        {1: "tensor", 2: "data"})
+        {1: "tensor", 2: "data"}, n_devices=n)
 
     # Spatial sharding (context-parallelism analog): the inference forward
     # over image rows on a (data x spatial) mesh — GSPMD's halo exchanges
@@ -108,7 +108,7 @@ def main(full: bool) -> dict:
             p_sp, x_sp).compile().as_text()
     report["configs"]["dp4xsp2_infer"] = audit_hlo(
         hlo, {2: "spatial", n // 2: "data", n: "data*spatial"},
-        {1: "spatial", 2: "data"})
+        {1: "spatial", 2: "data"}, n_devices=n)
 
     dp = report["configs"]["dp8"]["total"]
     tp = report["configs"]["dp4xtp2"]["total"]

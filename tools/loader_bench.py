@@ -25,15 +25,19 @@ import numpy as np
 def run(use_native: bool, cfg, n_batches: int) -> dict:
     from rcot_tpu.data.pipeline import TrainLoader
 
-    loader = TrainLoader(cfg, seed=0, use_native=use_native)
     if use_native:
-        assert loader.native is not None, "native loader unavailable"
+        # TrainLoader(use_native=True) sets .native unconditionally; the
+        # real readiness signal is available() — without this check an
+        # unbuilt library surfaced as a RuntimeError mid-iteration
+        # (advisor r3)
+        from rcot_tpu.data import native
+        assert native.available(), "native loader unavailable (unbuilt)"
+    loader = TrainLoader(cfg, seed=0, use_native=use_native)
     it = loader.epoch(1)
     # warmup: first batch pays index/open-file costs
     first = next(it)
     t0 = time.perf_counter()
     n = 0
-    checksum = 0.0
     for b in it:
         n += 1
         if n >= n_batches:

@@ -24,6 +24,10 @@ import os
 import sys
 import time
 
+# script-mode python puts tools/ (not the repo root) on sys.path; make the
+# probe runnable as `python tools/perf_probe.py` without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

