@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dehaze-path", default=None, help="folder with input/ + target/")
     p.add_argument("--deblur-dir", default=None, help="GoPro-style root (test/blur, test/sharp)")
     p.add_argument("--lowlight-dir", default=None, help="LOL-style root (low/, high/)")
+    p.add_argument("--paired", nargs=2, action="append", default=[],
+                   metavar=("NAME", "DIR"),
+                   help="extra task: DIR/input + DIR/target paired by sorted "
+                        "order (tester.py:55-58 semantics); repeatable")
     p.add_argument("--tile", type=int, default=0)
     p.add_argument("--tile-overlap", type=int, default=32)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
@@ -163,6 +167,27 @@ def main(argv=None) -> int:
             ds = LowLightTestDataset(path)
             return (ds[i] for i in range(len(ds)))
         tasks.append(("lowlight", build))
+    for name, root in args.paired:
+        def build(root=root):
+            import os
+
+            import numpy as np
+
+            from ..data.datasets import crop_to_base, eval_pairs, load_rgb
+            pairs = eval_pairs(os.path.join(root, "input/"),
+                               os.path.join(root, "target/"))
+            if not pairs:
+                raise FileNotFoundError(
+                    f"no input/target pairs under {root!r}")
+            def items():
+                for deg_p, tar_p in pairs:
+                    deg = crop_to_base(load_rgb(deg_p), 16)
+                    tar = crop_to_base(load_rgb(tar_p), 16)
+                    yield (os.path.basename(deg_p)[:-4],
+                           deg.astype(np.float32) / 255.0,
+                           tar.astype(np.float32) / 255.0)
+            return items()
+        tasks.append((name, build))
 
     results = {}
     failed = 0

@@ -208,6 +208,37 @@ class TestEvalAllCLI:
         assert "error" in results["derain"]
         assert "missing" in results["derain"]["error"]
 
+    @pytest.mark.slow
+    def test_paired_task(self, tiny_config, tmp_path):
+        """--paired NAME DIR evaluates a same-name input/target tree
+        (sorted-glob pairing, tester.py:55-58 semantics) — covers the
+        deblur/lowlight-style val folders the named flags don't."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.eval_all import main as eval_main
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), tiny_config)
+        ckpt = save_checkpoint(
+            str(tmp_path / "m_step0"), state,
+            metadata={"config": tiny_config.to_dict()})
+        rng = np.random.default_rng(0)
+        os.makedirs(tmp_path / "v" / "input")
+        os.makedirs(tmp_path / "v" / "target")
+        img = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)
+                        ).save(tmp_path / "v" / "input" / "a.png")
+        Image.fromarray(img).save(tmp_path / "v" / "target" / "a.png")
+        out_json = tmp_path / "summary.json"
+        rc = eval_main(["--ckpt", ckpt, "--paired", "deblur_val",
+                        str(tmp_path / "v"), "--json-out", str(out_json)])
+        assert rc == 0
+        row = json.loads(out_json.read_text())["results"]["deblur_val"]
+        assert row["n"] == 1 and np.isfinite(row["psnr"])
+        assert np.isfinite(row["input_psnr"])
+
 
 class TestTestCLI:
     def test_parser_defaults(self):
