@@ -252,6 +252,8 @@ def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
     paper-v1 backbone the distributed pretrained weights use,
     reference: README.md:118-120 / Net.py:179-216). sr_scale applies the
     legacy SR-mode bicubic pre-upsample (Net.py:182-183, mprnet only)."""
+    from ..ops import dispatch
+
     if backbone == "restormer":
         if sr_scale:
             raise ValueError(
@@ -260,15 +262,19 @@ def make_restorer(params, model_cfg, *, tile: int = 0, tile_overlap: int = 32,
         from .restormer import apply_tnet
 
         def fn(p, x):
-            out2, _, _ = apply_tnet(p, x.astype(dtype), model_cfg)
+            # the `with` runs at TRACE time (fn is traced under jit), so
+            # block_mode() can resolve forward-only kernel compositions
+            with dispatch.inference_scope():
+                out2, _, _ = apply_tnet(p, x.astype(dtype), model_cfg)
             return out2.astype(jnp.float32)
     elif backbone == "mprnet":
         from .mprnet import apply_mprnet_tnet
 
         def fn(p, x):
-            out2, _, _ = apply_mprnet_tnet(
-                p, x.astype(dtype), sr_scale=sr_scale,
-                residual_cond_scale=model_cfg.latent_cond_scale)
+            with dispatch.inference_scope():
+                out2, _, _ = apply_mprnet_tnet(
+                    p, x.astype(dtype), sr_scale=sr_scale,
+                    residual_cond_scale=model_cfg.latent_cond_scale)
             return out2.astype(jnp.float32)
     else:
         raise ValueError(f"unknown backbone {backbone!r}")

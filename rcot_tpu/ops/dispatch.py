@@ -90,8 +90,46 @@ def block_mode() -> str:
         return "full"
     # unset or unrecognized: resolve against the gram tier (gram + head +
     # tail backwards cannot all share a program on the current toolchain;
-    # gram+tail can, and wins: 0.0992 vs 0.1031 s/iter)
+    # gram+tail can, and wins: 0.0992 vs 0.1031 s/iter). The wall is a
+    # BACKWARD co-compile constraint — a forward-only (inference) trace
+    # has its own resolution via RCOT_INFER_BLOCK.
+    if in_inference_scope():
+        ienv = os.environ.get("RCOT_INFER_BLOCK")
+        if ienv in ("head", "tail", "full"):
+            return ienv
+        if ienv in ("0", "off", "false"):
+            return "off"
+        # unset: same default as training until the r4 inference
+        # composition probe settles whether gram+FULL forward-only wins
+        return "tail" if pallas_gram_on() else "full"
     return "tail" if pallas_gram_on() else "full"
+
+
+_INFER_SCOPE_DEPTH = 0
+
+
+class inference_scope:
+    """Trace-time marker for forward-only programs (no backward will be
+    taken through the traced ops): lets block_mode() resolve kernel
+    compositions that cannot co-compile with their backwards but are fine
+    (and potentially faster) forward-only. Entered by make_restorer's
+    apply fn, so it is active exactly while jit traces the inference
+    program. Not thread-safe across concurrent tracers (fine here: one
+    restorer trace at a time)."""
+
+    def __enter__(self):
+        global _INFER_SCOPE_DEPTH
+        _INFER_SCOPE_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _INFER_SCOPE_DEPTH
+        _INFER_SCOPE_DEPTH -= 1
+        return False
+
+
+def in_inference_scope() -> bool:
+    return _INFER_SCOPE_DEPTH > 0
 
 
 def pallas_gram_on() -> bool:
