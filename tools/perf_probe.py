@@ -39,6 +39,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "perf",
 def emit(rec):
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     rec["ts"] = time.strftime("%H:%M:%S")
+    if os.environ.get("RCOT_PROBE_CELL"):
+        rec["cell"] = os.environ["RCOT_PROBE_CELL"]  # queue relaunch idempotency
     if os.environ.get("RCOT_ABLATE"):
         rec["ablate"] = os.environ["RCOT_ABLATE"]
     from rcot_tpu.ops import dispatch
