@@ -29,7 +29,8 @@ import numpy as np
 from ..data.degradations import augment_and_degrade
 from ..data.pipeline import TrainLoader, device_prefetch
 from ..models.inference import make_restorer
-from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.checkpoint import (AsyncCheckpointer, load_checkpoint,
+                                save_checkpoint)
 from ..utils.config import Config
 from ..utils.logging import MetricsLogger, StepTimer
 from .optim import step_decay_lr
@@ -137,6 +138,16 @@ class Trainer:
         # set asynchronously by the SIGTERM/SIGINT handler fit() installs;
         # the loop checkpoints and stops at the next step boundary
         self._preempted = False
+        # Periodic checkpoints write on a background thread (donation-safe
+        # device snapshot; the D2H transfer + npz write overlap subsequent
+        # steps — the synchronous path was a large slice of the 0.34 vs
+        # 0.129 s/step capstone wall gap). RCOT_CKPT_ASYNC=0 restores the
+        # synchronous path; preemption/final saves always block either way.
+        self._async_ckpt = (
+            AsyncCheckpointer()
+            if os.environ.get("RCOT_CKPT_ASYNC", "1") not in ("0", "off",
+                                                              "false")
+            else None)
 
     def _step(self, *args):
         if self._steps is None:
@@ -179,7 +190,8 @@ class Trainer:
         self.log.log("resumed", path=path, epoch=self.start_epoch,
                      epoch_step=self.start_step)
 
-    def save(self, epoch: int, epoch_step: int = 0) -> str:
+    def save(self, epoch: int, epoch_step: int = 0, *,
+             blocking: bool = False) -> str:
         t = self.cfg.train
         name = f"{t.run_name}_step{self.host_step}"
         path = os.path.join(t.ckpt_dir, name)
@@ -187,12 +199,17 @@ class Trainer:
             # every process computes the same replicated state; only process 0
             # may touch the filesystem (save/prune/symlink race otherwise)
             return path + ".npz"
+        metadata = {"epoch": epoch, "epoch_step": epoch_step,
+                    "config_hash": self.cfg.hash(),
+                    "config": self.cfg.to_dict()}
+        if self._async_ckpt is not None:
+            out = self._async_ckpt.save(
+                path, self.state, metadata=metadata, keep_n=t.ckpt_keep)
+            if blocking:  # preemption/final: durable before returning
+                self._async_ckpt.wait()
+            return out
         return save_checkpoint(
-            path, self.state,
-            metadata={"epoch": epoch, "epoch_step": epoch_step,
-                      "config_hash": self.cfg.hash(),
-                      "config": self.cfg.to_dict()},
-            keep_n=t.ckpt_keep)
+            path, self.state, metadata=metadata, keep_n=t.ckpt_keep)
 
     # ------------------------------------------------------------ loop
 
@@ -247,7 +264,8 @@ class Trainer:
                 # TPU-pod preemption (SIGTERM) / Ctrl-C: flush a resumable
                 # mid-epoch checkpoint at the step boundary, then stop.
                 jax.block_until_ready(self.state)
-                path = self.save(epoch, epoch_step=step_idx + 1)
+                path = self.save(epoch, epoch_step=step_idx + 1,
+                                 blocking=True)
                 self.log.log("preempted", epoch=epoch, step=self.host_step,
                              ckpt=path)
                 raise Preempted(path)
@@ -375,6 +393,11 @@ class Trainer:
             pass  # checkpointed + logged at the step boundary; clean stop
         finally:
             restore()
+            if self._async_ckpt is not None:
+                # flush the in-flight periodic write before the process can
+                # exit (a daemon worker killed mid-write only ever leaves a
+                # .tmp behind, but the checkpoint itself would be lost)
+                self._async_ckpt.wait()
         return self.state
 
     def _install_preemption_handlers(self):

@@ -20,9 +20,11 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _META_KEY = "__rcot_meta__"
@@ -113,6 +115,72 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
             if old != os.path.basename(path):
                 os.unlink(os.path.join(d, old))
     return path
+
+
+# One jitted whole-tree copy: a donation-safe snapshot of the state. The
+# train step donates the live state buffers (donate_argnums), so a
+# background writer must not hold references to them — by the time it
+# fetches, the next dispatched step has already reused the memory. The
+# on-device copy is cheap (HBM-to-HBM, well under a millisecond for the
+# whole 77M-param state at v5e bandwidth) and is ordered by the runtime
+# BEFORE any later computation that consumes the donated original. ONE
+# jit program (vs per-leaf jnp.copy) matters doubly: a remote-attached
+# TPU pays a tunnel round-trip per dispatch (hundreds of leaves), and on
+# CPU backends the per-leaf path measured 4.2 s vs 3.6 s for the sync
+# save it was meant to hide. jit caches by tree structure/shapes, so the
+# copy program compiles once per run; input shardings are preserved.
+_snapshot_tree = jax.jit(
+    lambda state: jax.tree_util.tree_map(jnp.copy, state))
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (the orbax-style async save).
+
+    The synchronous save path costs the training loop a device->host
+    transfer of the full state plus a zipped npz write + fsync — measured
+    as a large slice of the 0.34 s/step epoch wall vs the 0.129 s/step
+    device rate on the round-3 capstone (1-core host, remote-attached TPU).
+    save() dispatches an on-device snapshot copy (donation-safe, see
+    _device_snapshot) and returns immediately; the D2H transfer and the
+    atomic write run on a worker thread, overlapped with subsequent train
+    steps (JAX transfers and file IO release the GIL).
+
+    At most one save is in flight: a second save() first joins the pending
+    one (backpressure), which serializes keep-N pruning and the `latest`
+    symlink update. A worker-thread failure re-raises at the next save()/
+    wait() rather than being lost. Callers on a shutdown path (preemption,
+    end of fit) must wait() so the final checkpoint is durable before the
+    process exits.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, path: str, state: Any, *,
+             metadata: Optional[Dict] = None, keep_n: int = 0) -> str:
+        self.wait()
+        snap = _snapshot_tree(state)
+
+        def work():
+            try:
+                save_checkpoint(path, snap, metadata=metadata, keep_n=keep_n)
+            except BaseException as e:  # surfaced on the training thread
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=work, name="rcot-async-ckpt", daemon=True)
+        self._thread.start()
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def wait(self) -> None:
+        """Join the in-flight write (if any); re-raise its failure."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def read_metadata(path: str) -> Dict:

@@ -99,7 +99,9 @@ def main():
     metrics = trainer.train_epoch(1)
     assert trainer.host_step == 2
 
-    ckpt_path = trainer.save(epoch=2)
+    # direct save() outside fit(): must block — the default async path
+    # returns before the npz lands (fit() flushes on exit; we have no fit)
+    ckpt_path = trainer.save(epoch=2, blocking=True)
     wrote = os.path.exists(ckpt_path)
     assert wrote == (pid == 0), (pid, ckpt_path)
 

@@ -178,3 +178,78 @@ class TestConfigHash:
         events = [json.loads(l)["event"] for l in open(log)]
         assert "resume_config_mismatch" not in events
         assert "resumed" in events
+
+
+class TestAsyncCheckpointer:
+    """Background-thread saves (trainer's default write path): content parity
+    with the sync writer, donation safety, in-order keep-N, error surfacing."""
+
+    def test_async_matches_sync(self, tmp_path):
+        from rcot_tpu.utils.checkpoint import AsyncCheckpointer
+
+        s = _state(3)
+        sync_path = save_checkpoint(str(tmp_path / "sync_step17"), s,
+                                    metadata={"epoch": 4}, keep_n=2)
+        ac = AsyncCheckpointer()
+        async_path = ac.save(str(tmp_path / "async_step17"), s,
+                             metadata={"epoch": 4}, keep_n=2)
+        ac.wait()
+        tpl = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), s)
+        a, meta_a = load_checkpoint(sync_path, tpl)
+        b, meta_b = load_checkpoint(async_path, tpl)
+        assert meta_a == meta_b
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_donation_safety(self, tmp_path):
+        """save() must snapshot the state BEFORE the next donating step
+        reuses its buffers: the checkpoint equals the state at save time,
+        not whatever the training loop mutated it into afterwards."""
+        from rcot_tpu.utils.checkpoint import AsyncCheckpointer
+
+        @jax.jit
+        def plain_step(s):
+            return {"w": s["w"] + 1.0}
+
+        step = jax.jit(plain_step, donate_argnums=(0,))
+        s = {"w": jnp.zeros((256, 256))}
+        s = step(s)  # w == 1
+        want = np.asarray(s["w"]).copy()
+        ac = AsyncCheckpointer()
+        path = ac.save(str(tmp_path / "don_step1"), s)
+        for _ in range(4):  # donates (and thus invalidates) the saved buffers
+            s = step(s)
+        ac.wait()
+        loaded, _ = load_checkpoint(path, {"w": jnp.zeros((256, 256))})
+        np.testing.assert_array_equal(np.asarray(loaded["w"]), want)
+        assert float(s["w"][0, 0]) == 5.0
+
+    def test_in_order_keep_n(self, tmp_path):
+        from rcot_tpu.utils.checkpoint import AsyncCheckpointer
+
+        ac = AsyncCheckpointer()
+        for i in range(5):  # back-to-back: each save joins the previous
+            ac.save(str(tmp_path / f"run_step{i}"), _state(i), keep_n=2)
+        ac.wait()
+        files = sorted(f for f in os.listdir(tmp_path)
+                       if f.startswith("run_step"))
+        assert files == ["run_step3.npz", "run_step4.npz"]
+        loaded, _ = load_checkpoint(str(tmp_path / "latest.npz"), _state(0))
+        for a, b in zip(jax.tree_util.tree_leaves(_state(4)),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_worker_error_reraises(self, tmp_path):
+        from rcot_tpu.utils.checkpoint import AsyncCheckpointer
+
+        ac = AsyncCheckpointer()
+        blocker = tmp_path / "blocker"
+        blocker.write_text("not a directory")  # parent path is a FILE
+        ac.save(str(blocker / "x_step0"), _state())
+        with pytest.raises(OSError):  # NotADirectoryError/FileExistsError
+            ac.wait()
+        # the checkpointer recovers: a later save works and wait() is clean
+        ok = ac.save(str(tmp_path / "ok_step0"), _state())
+        ac.wait()
+        assert os.path.exists(ok)
