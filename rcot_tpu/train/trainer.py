@@ -30,7 +30,7 @@ from ..data.degradations import augment_and_degrade
 from ..data.pipeline import TrainLoader, device_prefetch
 from ..models.inference import make_restorer
 from ..utils.checkpoint import (AsyncCheckpointer, load_checkpoint,
-                                save_checkpoint)
+                                save_checkpoint, snapshot_state)
 from ..utils.config import Config
 from ..utils.logging import MetricsLogger, StepTimer
 from .optim import step_decay_lr
@@ -195,6 +195,12 @@ class Trainer:
         t = self.cfg.train
         name = f"{t.run_name}_step{self.host_step}"
         path = os.path.join(t.ckpt_dir, name)
+        # the donation-safe snapshot is a jitted program over the (possibly
+        # global, multi-host) state — EVERY process must launch it, before
+        # the lead-only filesystem gate below (single-controller launches
+        # over non-fully-addressable arrays are undefined)
+        snap = (snapshot_state(self.state)
+                if self._async_ckpt is not None else None)
         if not self.is_lead:
             # every process computes the same replicated state; only process 0
             # may touch the filesystem (save/prune/symlink race otherwise)
@@ -204,7 +210,8 @@ class Trainer:
                     "config": self.cfg.to_dict()}
         if self._async_ckpt is not None:
             out = self._async_ckpt.save(
-                path, self.state, metadata=metadata, keep_n=t.ckpt_keep)
+                path, snap, metadata=metadata, keep_n=t.ckpt_keep,
+                snapshotted=True)
             if blocking:  # preemption/final: durable before returning
                 self._async_ckpt.wait()
             return out

@@ -129,8 +129,12 @@ def save_checkpoint(path: str, state: Any, *, metadata: Optional[Dict] = None,
 # CPU backends the per-leaf path measured 4.2 s vs 3.6 s for the sync
 # save it was meant to hide. jit caches by tree structure/shapes, so the
 # copy program compiles once per run; input shardings are preserved.
-_snapshot_tree = jax.jit(
+snapshot_state = jax.jit(
     lambda state: jax.tree_util.tree_map(jnp.copy, state))
+
+
+def _ensure_snapshot(state, snapshotted):
+    return state if snapshotted else snapshot_state(state)
 
 
 class AsyncCheckpointer:
@@ -158,9 +162,14 @@ class AsyncCheckpointer:
         self._err: Optional[BaseException] = None
 
     def save(self, path: str, state: Any, *,
-             metadata: Optional[Dict] = None, keep_n: int = 0) -> str:
+             metadata: Optional[Dict] = None, keep_n: int = 0,
+             snapshotted: bool = False) -> str:
+        """snapshotted=True: `state` is already a donation-safe snapshot
+        (multi-host callers take it SPMD-symmetrically on every process via
+        snapshot_state() BEFORE the lead-only gate — launching the jitted
+        copy from a single controller over global arrays is undefined)."""
         self.wait()
-        snap = _snapshot_tree(state)
+        snap = _ensure_snapshot(state, snapshotted)
 
         def work():
             try:
