@@ -119,7 +119,24 @@ def timeit(compiled, args, n=10, warmup=3, donate_state=False):
         out = compiled(state, *args[1:])
         state = out[0] if donate_state else state
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n, out
+
+
+def validate_out(out):
+    """True iff every leaf of the timed program's final output is finite.
+
+    The b10_bf16 probe row (2026-08-20 07:25) recorded 0.00829 s/iter =
+    97.6 TFLOP/s — ~27x the best-ever rate on this chip — because nothing
+    ever looked at what the 'fast' program produced. A degenerate remote
+    compile or a silently-failed execution must flag the row, not poison
+    the record."""
+    try:
+        leaves = jax.tree_util.tree_leaves(out)
+        return all(bool(jnp.isfinite(x).all()) for x in leaves
+                   if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                             jnp.inexact))
+    except Exception:
+        return False
 
 
 def flops_of(lowered_compiled):
@@ -145,7 +162,8 @@ def run(task):
         fn = jax.jit(make_train_iteration(cfg), donate_argnums=(0,))
         c = fn.lower(state, batch, key, paired, lr).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state, batch, key, paired, lr), donate_state=True)
+        dt, out = timeit(c, (state, batch, key, paired, lr),
+                         donate_state=True)
     elif kind == "loop":
         iteration = make_train_iteration(cfg)
         K = 10
@@ -160,8 +178,8 @@ def run(task):
         fn = jax.jit(loop, donate_argnums=(0,))
         c = fn.lower(state, batch, key, paired, lr).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state, batch, key, paired, lr), n=3,
-                    donate_state=False)
+        dt, out = timeit(c, (state, batch, key, paired, lr), n=3,
+                         donate_state=False)
         dt /= K
         if fl:
             fl /= K
@@ -169,18 +187,18 @@ def run(task):
         fn = jax.jit(make_t_step(cfg), donate_argnums=(0,))
         c = fn.lower(state, batch, paired, lr).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state, batch, paired, lr), donate_state=True)
+        dt, out = timeit(c, (state, batch, paired, lr), donate_state=True)
     elif kind == "fstep":
         fn = jax.jit(make_f_step(cfg), donate_argnums=(0,))
         c = fn.lower(state, batch, key, lr).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state, batch, key, lr), donate_state=True)
+        dt, out = timeit(c, (state, batch, key, lr), donate_state=True)
     elif kind == "tfwd":
         from rcot_tpu.models.restormer import apply_tnet
         fn = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
         c = fn.lower(state.t_params, batch.degraded).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state.t_params, batch.degraded))
+        dt, out = timeit(c, (state.t_params, batch.degraded))
     elif kind == "infer":
         # res/batch via RCOT_INFER_RES / RCOT_INFER_BATCH (VERDICT r3 #3:
         # the inference composition space — forward-only programs have no
@@ -192,14 +210,22 @@ def run(task):
         fn = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
         c = fn.lower(state.t_params, x).compile()
         fl = flops_of(c)
-        dt = timeit(c, (state.t_params, x))
+        dt, out = timeit(c, (state.t_params, x))
     else:
         raise SystemExit(f"unknown kind {kind}")
 
-    emit({"task": task, "sec": round(dt, 5), "batch": bs,
-          "per_sec": round(bs / dt, 3), "flops": fl,
-          "tflops": round(fl / dt / 1e12, 2) if fl else None,
-          "compile_s": round(time.perf_counter() - t_compile0 - 13 * dt, 1)})
+    finite = validate_out(out)
+    tflops = round(fl / dt / 1e12, 2) if fl else None
+    rec = {"task": task, "sec": round(dt, 5), "batch": bs,
+           "per_sec": round(bs / dt, 3), "flops": fl, "tflops": tflops,
+           "compile_s": round(time.perf_counter() - t_compile0 - 13 * dt, 1)}
+    if not finite:
+        rec["out_finite"] = False
+    # no measured composition has ever exceeded ~13 TFLOP/s on this chip;
+    # a rate past 30 means the timed program did not do the work
+    if not finite or (tflops is not None and tflops > 30):
+        rec["suspect"] = True
+    emit(rec)
 
 
 def main():

@@ -100,6 +100,16 @@ cell bf16a_b3_c2        iter_parity RCOT_PROBE_BATCH=3 RCOT_BWD_BF16=all
 cell gramfull_bf16_b3_c2 iter_parity RCOT_PROBE_BATCH=3 RCOT_BWD_BF16=all RCOT_PALLAS_BLOCK=full
 commit_artifacts "r4 queue4: same-day batch-3 reference cells"
 
+# ---- re-measure the SUSPECT b10 row under output validation ----------------
+# queue3's b10_bf16 cell recorded 0.00829 s/iter = 97.6 TFLOP/s (~27x the
+# best rate ever measured on this chip) right after a 50-minute relay
+# outage; perf_probe now validates every leaf of the timed program's final
+# output and flags implausible rates, so these cells settle whether b10
+# actually runs at all.
+cell b10_bf16_v2        iter_parity RCOT_PROBE_BATCH=10 RCOT_BWD_BF16=all
+cell b10_ref            iter_parity RCOT_PROBE_BATCH=10
+commit_artifacts "r4 queue4: b10 re-measure under output validation"
+
 # ---- batch escalation under the winning composition -----------------------
 cell gramfull_bf16_b12_remat iter_parity RCOT_PROBE_BATCH=12 RCOT_BWD_BF16=all RCOT_PALLAS_BLOCK=full RCOT_REMAT=1
 cell gramfull_bf16_b16_remat iter_parity RCOT_PROBE_BATCH=16 RCOT_BWD_BF16=all RCOT_PALLAS_BLOCK=full RCOT_REMAT=1
