@@ -409,7 +409,17 @@ def main():
     if os.environ.get("RCOT_BENCH_INFER", "1") not in ("", "0"):
         try:
             from rcot_tpu.models.restormer import apply_tnet
-            fwd = jax.jit(lambda p, x: apply_tnet(p, x, cfg.model)[0])
+            from rcot_tpu.ops import dispatch as _dispatch
+
+            def _fwd_traced(p, x):
+                # trace-time scope, same as make_restorer's apply fn: the
+                # forward-only program resolves its own kernel composition
+                # (RCOT_INFER_BLOCK / dispatch.block_mode) — an inference
+                # trace has no backward co-compile wall (BENCH.md round 4)
+                with _dispatch.inference_scope():
+                    return apply_tnet(p, x, cfg.model)[0]
+
+            fwd = jax.jit(_fwd_traced)
             dt_infer = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
             for b, tag in ((1, "b1"), (4, "b4")):
                 x = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), dt_infer)
