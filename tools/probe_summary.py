@@ -33,6 +33,7 @@ def main():
     train = defaultdict(list)   # (batch, cfg) -> [sec]
     infer = defaultdict(list)   # (res, batch, cfg) -> [sec]
     fails = []
+    suspects = []
     for line in open(path):
         try:
             d = json.loads(line)
@@ -43,6 +44,12 @@ def main():
             continue
         if "error" in d or d.get("rc"):
             fails.append(d)
+            continue
+        if d.get("suspect") or (d.get("tflops") or 0) > 30 or d.get("out_finite") is False:
+            # rate-validation flag from perf_probe (implausible TFLOP/s or
+            # non-finite outputs) — re-derived here too for rows that
+            # predate the flag: never fold into the measurement tables
+            suspects.append(d)
             continue
         if task.startswith("iter") and "sec" in d:
             train[(d.get("batch"), fmt_cfg(d))].append(d["sec"])
@@ -65,6 +72,13 @@ def main():
             lo = min(secs)
             print(f"| {r} | {b} | {cfg} | {lo:.4f} | {b / lo:.2f} "
                   f"| {len(secs)} |")
+    if suspects:
+        print()
+        print("SUSPECT cells (failed perf_probe's output/rate validation; "
+              "excluded from the tables above):")
+        for d in suspects:
+            print(f"  - {d.get('cell', d.get('task'))}: sec={d.get('sec')} "
+                  f"tflops={d.get('tflops')} out_finite={d.get('out_finite', True)}")
     if fails:
         print()
         print("failed cells:")
