@@ -99,9 +99,12 @@ def block_mode() -> str:
             return ienv
         if ienv in ("0", "off", "false"):
             return "off"
-        # unset: same default as training until the r4 inference
-        # composition probe settles whether gram+FULL forward-only wins
-        return "tail" if pallas_gram_on() else "full"
+        # unset: FULL (head+tail forward kernels). The r4 inference
+        # composition matrix settled it — gram+FULL compiles forward-only
+        # and wins every measured cell over gram+tail: 256px b1
+        # 29.1 vs 27.6 img/s, b8 32.6 vs 30.8; 512px b1 6.58 vs 6.26,
+        # b8 7.14 vs 6.83 (perf/probe_r4.jsonl 08:35-09:41, +4.5-5.8%).
+        return "full"
     return "tail" if pallas_gram_on() else "full"
 
 

@@ -34,6 +34,19 @@ class TestInferenceScope:
             assert dispatch.block_mode() == "full"
         assert dispatch.block_mode() == "tail"
 
+    def test_infer_default_is_full(self, monkeypatch):
+        """Forward-only default = FULL (head+tail kernels): the r4 inference
+        composition matrix measured gram+FULL faster than gram+tail in every
+        cell (256/512px, b1/b8, +4.5-5.8% — perf/probe_r4.jsonl); training
+        resolution stays gram+tail (the backward co-compile wall)."""
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_PALLAS_GRAM", raising=False)
+        monkeypatch.delenv("RCOT_INFER_BLOCK", raising=False)
+        assert dispatch.block_mode() == "tail"
+        with dispatch.inference_scope():
+            assert dispatch.block_mode() == "full"
+        assert dispatch.block_mode() == "tail"
+
     def test_explicit_block_env_wins_everywhere(self, monkeypatch):
         monkeypatch.setenv("RCOT_PALLAS_BLOCK", "head")
         monkeypatch.setenv("RCOT_INFER_BLOCK", "full")
@@ -47,11 +60,12 @@ class TestInferenceScope:
             assert dispatch.block_mode() == "off"
 
     @pytest.mark.slow
-    def test_restorer_full_composition_matches_default(self, tiny_model_cfg,
-                                                       monkeypatch):
-        """The gram+FULL forward composition (head+tail kernels, interpret
-        mode on CPU) must restore identically to the default gram+tail —
-        value parity for the composition the inference probe evaluates."""
+    def test_restorer_default_matches_block_off(self, tiny_model_cfg,
+                                                monkeypatch):
+        """The shipped forward-only default (gram+FULL since the r4 matrix
+        settled it; head+tail kernels in interpret mode on CPU) must restore
+        identically to the block-kernel-free composition — value parity for
+        the composition users actually get from make_restorer."""
         import jax
 
         from rcot_tpu.models.inference import make_restorer
@@ -62,13 +76,14 @@ class TestInferenceScope:
         img = rng.uniform(size=(40, 40, 3)).astype(np.float32)
 
         monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_INFER_BLOCK", raising=False)
         dispatch.pallas_enabled.cache_clear()
         try:
-            base = np.asarray(
+            shipped = np.asarray(
                 make_restorer(params, tiny_model_cfg)(img))
-            monkeypatch.setenv("RCOT_INFER_BLOCK", "full")
-            full = np.asarray(
+            monkeypatch.setenv("RCOT_INFER_BLOCK", "off")
+            base = np.asarray(
                 make_restorer(params, tiny_model_cfg)(img))
         finally:
             dispatch.pallas_enabled.cache_clear()
-        np.testing.assert_allclose(full, base, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(shipped, base, rtol=2e-5, atol=2e-5)
