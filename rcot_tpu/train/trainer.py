@@ -71,6 +71,39 @@ _STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _STEP_CACHE_MAX = 8
 
 
+def _apply_auto_composition(cfg: Config) -> dict:
+    """At batch >= 8 on a real TPU backend, default the kernel composition to
+    the measured batch-8 optimum — gram+FULL+bf16-backwards, 0.2219 vs 0.2372
+    s/iter same-day tail fp32 (perf/probe_r4.jsonl, BENCH.md round 4). The
+    composition is SHAPE-dependent: FULL cannot compile at batch-3-class
+    program shapes, so small batches keep the safe gram+TAIL default, and
+    Trainer._step's compile-failure fallback protects unmeasured large shapes
+    (b10 FULL crashes the helper). Explicitly-set env keys are never
+    overridden; RCOT_AUTO_COMPOSITION=0 disables the whole mechanism.
+    Returns the keys it set (so the fallback knows what to drop)."""
+    from ..ops import dispatch
+
+    if os.environ.get("RCOT_AUTO_COMPOSITION", "1") in ("", "0", "false"):
+        return {}
+    if cfg.train.batch_size < 8 or not dispatch.pallas_enabled():
+        return {}
+    auto = {}
+    for k, v in (("RCOT_PALLAS_BLOCK", "full"), ("RCOT_BWD_BF16", "all")):
+        if os.environ.get(k) is None:
+            os.environ[k] = v
+            auto[k] = v
+    return auto
+
+
+def _is_compile_failure(e: Exception) -> bool:
+    """Conservative signature match for 'the composition did not compile'
+    (vs a genuine runtime/numerics error, which must propagate)."""
+    s = repr(e)
+    return any(m in s for m in ("remote_compile", "tpu_compile_helper",
+                                "Mosaic", "RESOURCE_EXHAUSTED",
+                                "XlaRuntimeError: INTERNAL"))
+
+
 def _jitted_steps(cfg: Config):
     """Resolve the jitted (fused step, preproc) pair for cfg + current RCOT_*
     env. Callers must invoke this at FIRST USE, not at Trainer construction:
@@ -128,6 +161,7 @@ class Trainer:
         # resolved lazily at first use so the RCOT_* env is read when the
         # program actually traces, not at construction (see _jitted_steps)
         self._steps = None
+        self._auto_env = {}  # env keys set by _apply_auto_composition
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
@@ -151,11 +185,33 @@ class Trainer:
 
     def _step(self, *args):
         if self._steps is None:
+            self._auto_env = _apply_auto_composition(self.cfg)
             self._steps = _jitted_steps(self.cfg)
+            if self._auto_env:
+                # first dispatch = trace + compile of the auto composition;
+                # if the shape can't compile it, fall back to the shipped
+                # safe default (gram+TAIL fp32) instead of killing the run.
+                # Execution never started, so the donated state is intact
+                # for the retry.
+                try:
+                    return self._steps[0](*args)
+                except Exception as e:
+                    if not _is_compile_failure(e):
+                        raise
+                    for k in self._auto_env:
+                        os.environ.pop(k, None)
+                    self.log.log("composition_fallback",
+                                 dropped=sorted(self._auto_env),
+                                 error=repr(e)[:200])
+                    self._auto_env = {}
+                    self._steps = _jitted_steps(self.cfg)
         return self._steps[0](*args)
 
     def _preproc(self, *args):
         if self._steps is None:
+            # sample dumps can trace before the first step in resumed runs;
+            # keep the composition consistent with what _step will use
+            self._auto_env = _apply_auto_composition(self.cfg)
             self._steps = _jitted_steps(self.cfg)
         return self._steps[1](*args)
 

@@ -213,3 +213,113 @@ class TestTrainerLoop:
         files = os.listdir(os.path.join(cfg.train.sample_dir, "T"))
         assert {"epoch1_output.png", "epoch1_degraded.png",
                 "epoch1_target.png", "epoch1_res.png"} <= set(files)
+
+
+class TestAutoComposition:
+    """Batch>=8 trainers on TPU default to the measured-optimal
+    gram+FULL+bf16 composition (BENCH.md round 4) with a compile-failure
+    fallback to the safe default; CPU / small-batch / user-set env are
+    never touched."""
+
+    def test_no_auto_small_batch_or_cpu(self, data_tree, tmp_path,
+                                        monkeypatch):
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.delenv("RCOT_PALLAS", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+        try:
+            assert trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path)) == {}            # batch 2
+            assert trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path, batch_size=8)) == {}  # cpu
+        finally:
+            dispatch.pallas_enabled.cache_clear()
+        assert "RCOT_PALLAS_BLOCK" not in os.environ
+
+    def test_auto_respects_user_env(self, data_tree, tmp_path, monkeypatch):
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.setenv("RCOT_BWD_BF16", "0")  # user pinned fp32
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+        try:
+            auto = trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path, batch_size=8))
+            assert auto == {"RCOT_PALLAS_BLOCK": "full"}
+            assert os.environ["RCOT_PALLAS_BLOCK"] == "full"
+            assert os.environ["RCOT_BWD_BF16"] == "0"  # untouched
+        finally:
+            os.environ.pop("RCOT_PALLAS_BLOCK", None)
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_auto_off_switch(self, data_tree, tmp_path, monkeypatch):
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.setenv("RCOT_AUTO_COMPOSITION", "0")
+        dispatch.pallas_enabled.cache_clear()
+        try:
+            assert trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path, batch_size=8)) == {}
+        finally:
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_compile_failure_falls_back_and_logs(self, data_tree, tmp_path,
+                                                 monkeypatch):
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+
+        def fake_jitted(cfg):
+            if os.environ.get("RCOT_PALLAS_BLOCK") == "full":
+                def bad(*a):
+                    raise RuntimeError(
+                        "INTERNAL: http://127.0.0.1:8103/remote_compile: "
+                        "HTTP 500: tpu_compile_helper subprocess exit code 1")
+                return (bad, None)
+            return ((lambda *a: "safe-result"), None)
+
+        monkeypatch.setattr(trmod, "_jitted_steps", fake_jitted)
+        log = str(tmp_path / "fallback.jsonl")
+        tr = trmod.Trainer(make_cfg(data_tree, tmp_path, batch_size=8),
+                           log_path=log)
+        try:
+            assert tr._step() == "safe-result"
+            assert "RCOT_PALLAS_BLOCK" not in os.environ
+            assert "RCOT_BWD_BF16" not in os.environ
+            assert tr._auto_env == {}
+        finally:
+            os.environ.pop("RCOT_PALLAS_BLOCK", None)
+            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.pallas_enabled.cache_clear()
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert "composition_fallback" in events
+
+    def test_non_compile_error_propagates(self, data_tree, tmp_path,
+                                          monkeypatch):
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+
+        def fake_jitted(cfg):
+            def bad(*a):
+                raise FloatingPointError("nan in gradients")
+            return (bad, None)
+
+        monkeypatch.setattr(trmod, "_jitted_steps", fake_jitted)
+        tr = trmod.Trainer(make_cfg(data_tree, tmp_path, batch_size=8),
+                           log_path=None)
+        try:
+            with pytest.raises(FloatingPointError):
+                tr._step()
+        finally:
+            os.environ.pop("RCOT_PALLAS_BLOCK", None)
+            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.pallas_enabled.cache_clear()
