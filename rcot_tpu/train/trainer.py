@@ -71,7 +71,7 @@ _STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _STEP_CACHE_MAX = 8
 
 
-def _apply_auto_composition(cfg: Config) -> dict:
+def _apply_auto_composition(cfg: Config, mesh=None) -> dict:
     """At batch >= 8 on a real TPU backend, default the kernel composition to
     the measured batch-8 optimum — gram+FULL+bf16-backwards, 0.2219 vs 0.2372
     s/iter same-day tail fp32 (perf/probe_r4.jsonl, BENCH.md round 4). The
@@ -85,7 +85,13 @@ def _apply_auto_composition(cfg: Config) -> dict:
 
     if os.environ.get("RCOT_AUTO_COMPOSITION", "1") in ("", "0", "false"):
         return {}
-    if cfg.train.batch_size < 8 or not dispatch.pallas_enabled():
+    # what the compiler sees is the PER-CHIP batch: under a data-parallel
+    # mesh the global batch splits over the data axis (tensor/spatial
+    # sharding keep the batch whole per chip)
+    per_chip = cfg.train.batch_size
+    if mesh is not None:
+        per_chip //= max(1, dict(getattr(mesh, "shape", {})).get("data", 1))
+    if per_chip < 8 or not dispatch.pallas_enabled():
         return {}
     auto = {}
     for k, v in (("RCOT_PALLAS_BLOCK", "full"), ("RCOT_BWD_BF16", "all")):
@@ -185,7 +191,7 @@ class Trainer:
 
     def _step(self, *args):
         if self._steps is None:
-            self._auto_env = _apply_auto_composition(self.cfg)
+            self._auto_env = _apply_auto_composition(self.cfg, self.mesh)
             self._steps = _jitted_steps(self.cfg)
             if self._auto_env:
                 # first dispatch = trace + compile of the auto composition;
@@ -211,7 +217,7 @@ class Trainer:
         if self._steps is None:
             # sample dumps can trace before the first step in resumed runs;
             # keep the composition consistent with what _step will use
-            self._auto_env = _apply_auto_composition(self.cfg)
+            self._auto_env = _apply_auto_composition(self.cfg, self.mesh)
             self._steps = _jitted_steps(self.cfg)
         return self._steps[1](*args)
 

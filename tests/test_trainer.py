@@ -323,3 +323,28 @@ class TestAutoComposition:
             os.environ.pop("RCOT_PALLAS_BLOCK", None)
             os.environ.pop("RCOT_BWD_BF16", None)
             dispatch.pallas_enabled.cache_clear()
+
+    def test_auto_keys_on_per_chip_batch_under_mesh(self, data_tree,
+                                                    tmp_path, monkeypatch):
+        """global batch 16 over a data=8 mesh is per-chip batch 2 — the
+        compiler sees the small shape, so no auto composition applies."""
+        import jax as _jax
+
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.parallel.sharding import make_mesh
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+        mesh = make_mesh(data=8, devices=_jax.devices()[:8])
+        cfg = make_cfg(data_tree, tmp_path, batch_size=16)
+        try:
+            assert trmod._apply_auto_composition(cfg, mesh) == {}
+            # no mesh: global 16 IS the per-chip batch -> auto applies
+            auto = trmod._apply_auto_composition(cfg, None)
+            assert set(auto) == {"RCOT_PALLAS_BLOCK", "RCOT_BWD_BF16"}
+        finally:
+            os.environ.pop("RCOT_PALLAS_BLOCK", None)
+            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.pallas_enabled.cache_clear()
