@@ -168,6 +168,7 @@ class Trainer:
         # program actually traces, not at construction (see _jitted_steps)
         self._steps = None
         self._auto_env = {}  # env keys set by _apply_auto_composition
+        self._stepped = False  # first step dispatched (fallback window over)
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
@@ -193,24 +194,28 @@ class Trainer:
         if self._steps is None:
             self._auto_env = _apply_auto_composition(self.cfg, self.mesh)
             self._steps = _jitted_steps(self.cfg)
-            if self._auto_env:
-                # first dispatch = trace + compile of the auto composition;
-                # if the shape can't compile it, fall back to the shipped
-                # safe default (gram+TAIL fp32) instead of killing the run.
-                # Execution never started, so the donated state is intact
-                # for the retry.
-                try:
-                    return self._steps[0](*args)
-                except Exception as e:
-                    if not _is_compile_failure(e):
-                        raise
-                    for k in self._auto_env:
-                        os.environ.pop(k, None)
-                    self.log.log("composition_fallback",
-                                 dropped=sorted(self._auto_env),
-                                 error=repr(e)[:200])
-                    self._auto_env = {}
-                    self._steps = _jitted_steps(self.cfg)
+        if self._auto_env and not self._stepped:
+            # first STEP dispatch = trace + compile of the auto composition
+            # (regardless of whether _preproc built the jit pair first); if
+            # the shape can't compile it, fall back to the shipped safe
+            # default (gram+TAIL fp32) instead of killing the run.
+            # Execution never started, so the donated state is intact for
+            # the retry.
+            try:
+                out = self._steps[0](*args)
+            except Exception as e:
+                if not _is_compile_failure(e):
+                    raise
+                for k in self._auto_env:
+                    os.environ.pop(k, None)
+                self.log.log("composition_fallback",
+                             dropped=sorted(self._auto_env),
+                             error=repr(e)[:200])
+                self._auto_env = {}
+                self._steps = _jitted_steps(self.cfg)
+                out = self._steps[0](*args)
+            self._stepped = True
+            return out
         return self._steps[0](*args)
 
     def _preproc(self, *args):
