@@ -3,9 +3,10 @@
 # killed mid-health-sleep and relaunched as this one merged script).
 #
 # Why the relaunch: queue3's decision gate applied RCOT_BWD_BF16=all to the
-# BATCH-3 capstone because bf16 wins at BATCH 8 — but bf16 measured SLOWER
-# at b3 (0.1079 vs ~0.099 expected same-day fp32, perf/probe_r4.jsonl
-# bf16a_b3), and the composition knowledge now lives in the CODE anyway:
+# BATCH-3 capstone because bf16 wins at BATCH 8 — the b3 evidence at the
+# time (bf16a_b3 0.1079) said slower; the clean same-day pair this queue
+# measured says it is a TIE at b3 (0.0961 vs 0.0953 fp32) — either way not
+# a win, and the composition knowledge now lives in the CODE anyway:
 # bench.py applies the b8-only gram+FULL+bf16 headline itself
 # (_headline_env) and the Trainer auto-applies it at per-chip batch >= 8
 # with a compile-failure fallback (_apply_auto_composition). So this queue
@@ -150,7 +151,7 @@ for attempt in $(seq 1 16); do
   RESUME=""
   [ -f "$CKPT/latest.npz" ] && RESUME="--resume $CKPT/latest.npz"
   say "capstone attempt $attempt $RESUME (shipped defaults, no composition env)"
-  timeout --signal=TERM --kill-after=120 10800 \
+  timeout --signal=TERM --kill-after=120 4500 \
     python -u -m rcot_tpu.cli.train --preset all_in_one \
     --denoise-dir "$R/Denoise/" --derain-dir "$R/Derain/" --dehaze-dir "$R/Dehaze/" \
     --data-file-dir "$R/manifests/" \
