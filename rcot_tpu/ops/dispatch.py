@@ -12,6 +12,45 @@ import functools
 import os
 
 
+# ------------------------------------------------------- auto-composition
+# Trainer-chosen composition defaults (train/trainer.py
+# _apply_auto_composition). A separate channel rather than os.environ
+# mutation (advisor r4, medium): env writes leaked past the Trainer's
+# lifetime into later trainers, validation inference, and subprocesses,
+# and made auto-set keys indistinguishable from user-set ones. Resolution
+# order everywhere: explicit user env > auto channel > built-in default.
+# Inference-scope traces deliberately IGNORE the channel — the auto choice
+# exists to dodge a BACKWARD co-compile wall, which no forward-only
+# program has (and the inference default is already the measured optimum).
+_AUTO: dict = {}
+
+
+def set_auto(overrides: dict) -> None:
+    """Replace the auto-composition overrides (always a full replace, so a
+    new Trainer resets any stale previous choice)."""
+    _AUTO.clear()
+    _AUTO.update(overrides)
+
+
+def clear_auto() -> None:
+    _AUTO.clear()
+
+
+def auto_overrides() -> dict:
+    return dict(_AUTO)
+
+
+def resolved_env(key: str, default: str = None):
+    """os.environ wins; the auto channel fills unset keys (training scope
+    only — inference traces see user env or the built-in default)."""
+    env = os.environ.get(key)
+    if env is not None:
+        return env
+    if not in_inference_scope() and key in _AUTO:
+        return _AUTO[key]
+    return default
+
+
 @functools.lru_cache(maxsize=1)
 def pallas_enabled() -> bool:
     env = os.environ.get("RCOT_PALLAS")
@@ -76,7 +115,29 @@ def pallas_block_on() -> bool:
 
 
 def block_mode() -> str:
-    env = os.environ.get("RCOT_PALLAS_BLOCK")
+    # Forward-only (inference) traces resolve FIRST: they have no backward
+    # co-compile wall, so the scope-specific RCOT_INFER_BLOCK outranks even
+    # an explicit RCOT_PALLAS_BLOCK here (advisor r4: the more specific
+    # explicit setting must win inside the scope it names), and the
+    # trainer's auto choice never applies.
+    if in_inference_scope():
+        ienv = os.environ.get("RCOT_INFER_BLOCK")
+        if ienv in ("head", "tail", "full"):
+            return ienv
+        if ienv in ("0", "off", "false"):
+            return "off"
+        env = os.environ.get("RCOT_PALLAS_BLOCK")  # user env only, no auto
+        if env in ("", "0", "false"):
+            return "off"
+        if env in ("head", "tail", "1", "full"):
+            return "full" if env == "1" else env
+        # unset: FULL (head+tail forward kernels). The r4 inference
+        # composition matrix settled it — gram+FULL compiles forward-only
+        # and wins every measured cell over gram+tail: 256px b1
+        # 29.1 vs 27.6 img/s, b8 32.6 vs 30.8; 512px b1 6.58 vs 6.26,
+        # b8 7.14 vs 6.83 (perf/probe_r4.jsonl 08:35-09:41, +4.5-5.8%).
+        return "full"
+    env = resolved_env("RCOT_PALLAS_BLOCK")
     if env in ("", "0", "false"):
         return "off"
     if env in ("head", "tail"):
@@ -86,25 +147,12 @@ def block_mode() -> str:
         return env
     if env in ("1", "full"):
         # explicit force — including head+tail+gram in one program, which
-        # crashes today's toolchain unless RCOT_PALLAS_GRAM=0
+        # crashes today's toolchain unless RCOT_PALLAS_GRAM=0 (the
+        # batch-8-class program shape is the exception, BENCH.md round 4)
         return "full"
     # unset or unrecognized: resolve against the gram tier (gram + head +
     # tail backwards cannot all share a program on the current toolchain;
-    # gram+tail can, and wins: 0.0992 vs 0.1031 s/iter). The wall is a
-    # BACKWARD co-compile constraint — a forward-only (inference) trace
-    # has its own resolution via RCOT_INFER_BLOCK.
-    if in_inference_scope():
-        ienv = os.environ.get("RCOT_INFER_BLOCK")
-        if ienv in ("head", "tail", "full"):
-            return ienv
-        if ienv in ("0", "off", "false"):
-            return "off"
-        # unset: FULL (head+tail forward kernels). The r4 inference
-        # composition matrix settled it — gram+FULL compiles forward-only
-        # and wins every measured cell over gram+tail: 256px b1
-        # 29.1 vs 27.6 img/s, b8 32.6 vs 30.8; 512px b1 6.58 vs 6.26,
-        # b8 7.14 vs 6.83 (perf/probe_r4.jsonl 08:35-09:41, +4.5-5.8%).
-        return "full"
+    # gram+tail can, and wins: 0.0992 vs 0.1031 s/iter).
     return "tail" if pallas_gram_on() else "full"
 
 

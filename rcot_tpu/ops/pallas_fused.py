@@ -129,9 +129,11 @@ def _bwd_dot_dtype(tier: str = "fused"):
     composition, same failure class as the gram+tail co-compile).
     RCOT_BWD_BF16 value: 1/all = every tier | a comma list of tiers
     ("fused", "block", "gram") = only those tiers' backward kernels use
-    bf16 operands (2x MXU rate); fp32 accumulation either way."""
-    import os
-    env = os.environ.get("RCOT_BWD_BF16", "0")
+    bf16 operands (2x MXU rate); fp32 accumulation either way. Resolved
+    through dispatch.resolved_env so the trainer's auto-composition channel
+    (user env wins) reaches the kernels without os.environ mutation."""
+    from . import dispatch
+    env = dispatch.resolved_env("RCOT_BWD_BF16", "0")
     if env in ("", "0"):
         return jnp.float32
     if env in ("1", "all") or tier in env.split(","):

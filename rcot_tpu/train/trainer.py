@@ -50,14 +50,18 @@ class Preempted(Exception):
 def _trace_key(cfg: Config) -> tuple:
     """Everything the jitted step programs' TRACE depends on: model/critic
     architecture, the train hyperparameters baked into the programs, and the
-    RCOT_* kernel-dispatch environment. Deliberately excludes paths, logging
-    cadence, and loader settings — those never enter the trace (shapes key
-    jax.jit's own per-shape cache)."""
+    RCOT_* kernel-dispatch environment (explicit env PLUS the trainer's
+    auto-composition channel — dispatch reads both at trace time).
+    Deliberately excludes paths, logging cadence, and loader settings —
+    those never enter the trace (shapes key jax.jit's own per-shape
+    cache)."""
+    from ..ops import dispatch
     t = cfg.train
     env = tuple(sorted((k, v) for k, v in os.environ.items()
                        if k.startswith("RCOT_")))
+    auto = tuple(sorted(dispatch.auto_overrides().items()))
     return (cfg.model, cfg.critic, t.seed, t.dtype, t.optimizer, t.lr,
-            t.gp_weight, t.sigma, t.Sigma, t.loss_math, env)
+            t.gp_weight, t.sigma, t.Sigma, t.loss_math, env, auto)
 
 
 # (trace_key -> (jitted fused step, jitted preproc)). Rebuilding a Trainer
@@ -80,34 +84,46 @@ def _apply_auto_composition(cfg: Config, mesh=None) -> dict:
     Trainer._step's compile-failure fallback protects unmeasured large shapes
     (b10 FULL crashes the helper). Explicitly-set env keys are never
     overridden; RCOT_AUTO_COMPOSITION=0 disables the whole mechanism.
-    Returns the keys it set (so the fallback knows what to drop)."""
+
+    The choice travels through dispatch's auto-overrides channel, NOT
+    os.environ (advisor r4, medium: env mutation leaked past the Trainer
+    into later trainers, validation inference, and subprocesses). This
+    function ALWAYS replaces the channel's contents — a small-batch or CPU
+    trainer resets any stale previous trainer's choice to {} — and returns
+    the applied dict (so the compile-failure fallback knows what to drop)."""
     from ..ops import dispatch
 
-    if os.environ.get("RCOT_AUTO_COMPOSITION", "1") in ("", "0", "false"):
-        return {}
-    # what the compiler sees is the PER-CHIP batch: under a data-parallel
-    # mesh the global batch splits over the data axis (tensor/spatial
-    # sharding keep the batch whole per chip)
-    per_chip = cfg.train.batch_size
-    if mesh is not None:
-        per_chip //= max(1, dict(getattr(mesh, "shape", {})).get("data", 1))
-    if per_chip < 8 or not dispatch.pallas_enabled():
-        return {}
     auto = {}
-    for k, v in (("RCOT_PALLAS_BLOCK", "full"), ("RCOT_BWD_BF16", "all")):
-        if os.environ.get(k) is None:
-            os.environ[k] = v
-            auto[k] = v
+    if os.environ.get("RCOT_AUTO_COMPOSITION", "1") not in ("", "0", "false"):
+        # what the compiler sees is the PER-CHIP batch: under a data-parallel
+        # mesh the global batch splits over the data axis (tensor/spatial
+        # sharding keep the batch whole per chip)
+        per_chip = cfg.train.batch_size
+        if mesh is not None:
+            per_chip //= max(1, dict(getattr(mesh, "shape", {})).get("data", 1))
+        if per_chip >= 8 and dispatch.pallas_enabled():
+            for k, v in (("RCOT_PALLAS_BLOCK", "full"),
+                         ("RCOT_BWD_BF16", "all")):
+                if os.environ.get(k) is None:
+                    auto[k] = v
+    dispatch.set_auto(auto)
     return auto
 
 
 def _is_compile_failure(e: Exception) -> bool:
-    """Conservative signature match for 'the composition did not compile'
-    (vs a genuine runtime/numerics error, which must propagate)."""
+    """Signature match for 'the composition did not compile', restricted to
+    COMPILE-PHASE markers (vs a genuine runtime/numerics error, which must
+    propagate). Every observed helper crash carries one of these (perf/
+    probe_r*.jsonl: 'INTERNAL: http://…/remote_compile: HTTP 500:
+    tpu_compile_helper subprocess exit code 1', sometimes as MosaicError).
+    Deliberately NOT matched (advisor r4 + VERDICT r4 weak #4): bare
+    'XlaRuntimeError: INTERNAL' and 'RESOURCE_EXHAUSTED' — those fire at
+    RUNTIME too, after donation has already consumed the state buffers, and
+    swallowing one would silently retrain the whole run on the fallback
+    composition instead of surfacing the real error."""
     s = repr(e)
     return any(m in s for m in ("remote_compile", "tpu_compile_helper",
-                                "Mosaic", "RESOURCE_EXHAUSTED",
-                                "XlaRuntimeError: INTERNAL"))
+                                "Mosaic"))
 
 
 def _jitted_steps(cfg: Config):
@@ -172,6 +188,12 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
+        # epochs whose validation is already in the resumed JSONL log —
+        # training is deterministic (step-exact resume), so re-running
+        # evaluate_folder for them reproduces the identical PSNR at 2-4
+        # TPU-minutes a pop (VERDICT r4 weak #5: every relay bounce of the
+        # r4 capstone logged each epoch's validation twice)
+        self._validated_epochs: set = set()
         self._last_log = None  # (wall time, host_step) at the last log point
         # host mirror of state.step: reading the device scalar every iteration
         # would force a sync and stall the pipeline.
@@ -206,14 +228,23 @@ class Trainer:
             except Exception as e:
                 if not _is_compile_failure(e):
                     raise
-                for k in self._auto_env:
-                    os.environ.pop(k, None)
+                from ..ops import dispatch
+                dispatch.clear_auto()
                 self.log.log("composition_fallback",
                              dropped=sorted(self._auto_env),
                              error=repr(e)[:200])
                 self._auto_env = {}
                 self._steps = _jitted_steps(self.cfg)
-                out = self._steps[0](*args)
+                try:
+                    out = self._steps[0](*args)
+                except RuntimeError as e2:
+                    if "deleted" in repr(e2):
+                        # the "compile" failure actually fired during the
+                        # FIRST EXECUTION, after donation consumed the state
+                        # buffers — the deleted-array error is a symptom;
+                        # surface the original (advisor r4 low #2)
+                        raise e from e2
+                    raise
             self._stepped = True
             return out
         return self._steps[0](*args)
@@ -254,8 +285,32 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.sharding import shard_state
             self.state = shard_state(self.mesh, self.state)
+        self._validated_epochs = self._logged_validation_epochs()
         self.log.log("resumed", path=path, epoch=self.start_epoch,
-                     epoch_step=self.start_step)
+                     epoch_step=self.start_step,
+                     validated_epochs=sorted(self._validated_epochs))
+
+    def _logged_validation_epochs(self) -> set:
+        """Epochs with a validation event already in this run's JSONL log
+        (the file the relaunched process appends to)."""
+        import json
+        path = getattr(self.log, "path", None)
+        if not path or not os.path.exists(path):
+            return set()
+        epochs = set()
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue  # torn tail line from a killed process
+                    if (rec.get("event") == "validation"
+                            and rec.get("epoch") is not None):
+                        epochs.add(int(rec["epoch"]))
+        except OSError:
+            return set()
+        return epochs
 
     def save(self, epoch: int, epoch_step: int = 0, *,
              blocking: bool = False) -> str:
@@ -457,21 +512,44 @@ class Trainer:
                     epoch, start,
                     profile_dir if epoch == self.start_epoch else None)
                 if eval_degset and epoch % t.eval_every == 0:
-                    p = self.evaluate_folder(eval_degset, eval_tarset)
-                    self.log.log("validation", epoch=epoch, psnr=p,
-                                 patch_size=self.cfg.data.patch_size,
-                                 batch_size=t.batch_size)
+                    if epoch in self._validated_epochs:
+                        # resumed run, epoch already validated in this log:
+                        # deterministic training reproduces the same params,
+                        # so the PSNR would be identical — skip the 2-4 min
+                        # re-evaluation (VERDICT r4 weak #5)
+                        self.log.log("validation_skipped", epoch=epoch,
+                                     reason="already_in_log")
+                    else:
+                        p = self.evaluate_folder(eval_degset, eval_tarset)
+                        self.log.log("validation", epoch=epoch, psnr=p,
+                                     patch_size=self.cfg.data.patch_size,
+                                     batch_size=t.batch_size)
                 if epoch % t.ckpt_every == 0:
                     self.save(epoch + 1)  # resume starts at the NEXT epoch
         except Preempted:
             pass  # checkpointed + logged at the step boundary; clean stop
         finally:
             restore()
+            from ..ops import dispatch
+            dispatch.clear_auto()  # composition choice dies with the fit
             if self._async_ckpt is not None:
                 # flush the in-flight periodic write before the process can
                 # exit (a daemon worker killed mid-write only ever leaves a
                 # .tmp behind, but the checkpoint itself would be lost)
-                self._async_ckpt.wait()
+                import sys
+                primary = sys.exc_info()[1]  # in-flight unwind, if any
+                try:
+                    self._async_ckpt.wait()
+                except Exception as ckpt_err:
+                    if primary is not None:
+                        # the try body is already unwinding with the PRIMARY
+                        # failure — a background write error must not replace
+                        # it (advisor r4 low #4); log it and let the primary
+                        # propagate
+                        self.log.log("async_ckpt_error_suppressed",
+                                     error=repr(ckpt_err)[:300])
+                    else:
+                        raise
         return self.state
 
     def _install_preemption_handlers(self):

@@ -47,9 +47,23 @@ class TestInferenceScope:
             assert dispatch.block_mode() == "full"
         assert dispatch.block_mode() == "tail"
 
-    def test_explicit_block_env_wins_everywhere(self, monkeypatch):
+    def test_scope_specific_env_wins_in_scope(self, monkeypatch):
+        """With BOTH keys explicitly set, the scope-specific RCOT_INFER_BLOCK
+        wins inside inference scope and RCOT_PALLAS_BLOCK everywhere else
+        (advisor r4 low #3: the old order let a global key silently eat an
+        explicit inference setting)."""
         monkeypatch.setenv("RCOT_PALLAS_BLOCK", "head")
         monkeypatch.setenv("RCOT_INFER_BLOCK", "full")
+        with dispatch.inference_scope():
+            assert dispatch.block_mode() == "full"
+        assert dispatch.block_mode() == "head"
+
+    def test_explicit_block_env_without_infer_key_wins_in_scope(
+            self, monkeypatch):
+        """An explicit RCOT_PALLAS_BLOCK alone still governs inference traces
+        (no scope-specific override set)."""
+        monkeypatch.setenv("RCOT_PALLAS_BLOCK", "head")
+        monkeypatch.delenv("RCOT_INFER_BLOCK", raising=False)
         with dispatch.inference_scope():
             assert dispatch.block_mode() == "head"
 

@@ -169,6 +169,36 @@ class TestTrainerLoop:
         assert tr2.host_step == 4  # finished the epoch from the preempt point
 
     @pytest.mark.slow
+    def test_resume_skips_already_logged_validation(self, data_tree,
+                                                    tmp_path):
+        """A relaunch resumed from a mid-epoch checkpoint of an epoch whose
+        validation is ALREADY in the log must not re-run it: deterministic
+        training reproduces the identical params/PSNR, and the r4 capstone
+        paid 2-4 TPU-minutes per relay bounce re-proving that (VERDICT r4
+        weak #5 — every epoch's validation appeared twice)."""
+        deg = f"{data_tree}/Derain/rainy"
+        tar = f"{data_tree}/Derain/rainy"  # same-shape folder; value unused
+        log = str(tmp_path / "log.jsonl")
+        cfg = make_cfg(data_tree, tmp_path, ckpt_every_steps=3)
+        tr = Trainer(cfg, log_path=log)
+        tr.fit(eval_degset=deg, eval_tarset=tar)  # validates epoch 1
+        # simulate the kill window between validation and the end-of-epoch
+        # save landing: resume from the PERIODIC mid-epoch checkpoint
+        ckpt = os.path.join(cfg.train.ckpt_dir, "T_step3.npz")
+        assert os.path.exists(ckpt)
+        tr2 = Trainer(make_cfg(data_tree, tmp_path, ckpt_every_steps=3),
+                      log_path=log)
+        tr2.resume(ckpt)
+        assert tr2._validated_epochs == {1}
+        tr2.fit(eval_degset=deg, eval_tarset=tar)
+        assert tr2.host_step == 4  # finished the epoch
+        events = [json.loads(l) for l in open(log)]
+        vals = [e for e in events if e["event"] == "validation"]
+        assert len(vals) == 1 and vals[0]["epoch"] == 1
+        skips = [e for e in events if e["event"] == "validation_skipped"]
+        assert len(skips) == 1 and skips[0]["epoch"] == 1
+
+    @pytest.mark.slow
     def test_fit_with_data_parallel_mesh(self, data_tree, tmp_path):
         """Trainer end-to-end over a 4-device 'data' mesh: replicated state,
         sharded batches, gradient all-reduce inserted by XLA."""
@@ -233,6 +263,7 @@ class TestAutoComposition:
             assert trmod._apply_auto_composition(
                 make_cfg(data_tree, tmp_path, batch_size=8)) == {}  # cpu
         finally:
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
         assert "RCOT_PALLAS_BLOCK" not in os.environ
 
@@ -247,10 +278,17 @@ class TestAutoComposition:
             auto = trmod._apply_auto_composition(
                 make_cfg(data_tree, tmp_path, batch_size=8))
             assert auto == {"RCOT_PALLAS_BLOCK": "full"}
-            assert os.environ["RCOT_PALLAS_BLOCK"] == "full"
+            # the choice lives in the dispatch channel, NOT os.environ
+            # (advisor r4 medium: env mutation leaked across trainers)
+            assert dispatch.auto_overrides() == {"RCOT_PALLAS_BLOCK": "full"}
+            assert "RCOT_PALLAS_BLOCK" not in os.environ
             assert os.environ["RCOT_BWD_BF16"] == "0"  # untouched
+            # and the kernels resolve it: user env wins, auto fills unset
+            assert dispatch.resolved_env("RCOT_BWD_BF16") == "0"
+            assert dispatch.resolved_env("RCOT_PALLAS_BLOCK") == "full"
+            assert dispatch.block_mode() == "full"
         finally:
-            os.environ.pop("RCOT_PALLAS_BLOCK", None)
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
 
     def test_auto_off_switch(self, data_tree, tmp_path, monkeypatch):
@@ -263,6 +301,59 @@ class TestAutoComposition:
             assert trmod._apply_auto_composition(
                 make_cfg(data_tree, tmp_path, batch_size=8)) == {}
         finally:
+            dispatch.clear_auto()
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_later_small_batch_trainer_resets_stale_auto(
+            self, data_tree, tmp_path, monkeypatch):
+        """A batch-8 trainer's auto choice must NOT survive into a later
+        batch-3-class trainer in the same process (advisor r4 medium: with
+        env mutation, the b3 trainer saw FULL as if user-set, _auto_env
+        stayed empty, and the compile-failure fallback never engaged)."""
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+        try:
+            auto8 = trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path, batch_size=8))
+            assert set(auto8) == {"RCOT_PALLAS_BLOCK", "RCOT_BWD_BF16"}
+            assert dispatch.auto_overrides() == auto8
+            # second trainer at small batch: returns {} AND resets the channel
+            assert trmod._apply_auto_composition(
+                make_cfg(data_tree, tmp_path, batch_size=2)) == {}
+            assert dispatch.auto_overrides() == {}
+            assert dispatch.block_mode() == "tail"  # back to the safe default
+        finally:
+            dispatch.clear_auto()
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_auto_never_reaches_inference_scope(self, data_tree, tmp_path,
+                                                monkeypatch):
+        """The auto choice dodges a BACKWARD co-compile wall; forward-only
+        traces resolve their own composition. Also: an explicit
+        RCOT_INFER_BLOCK outranks an explicit RCOT_PALLAS_BLOCK inside
+        inference scope (advisor r4 low #3)."""
+        from rcot_tpu.ops import dispatch
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+        try:
+            dispatch.set_auto({"RCOT_PALLAS_BLOCK": "head",
+                               "RCOT_BWD_BF16": "all"})
+            with dispatch.inference_scope():
+                assert dispatch.block_mode() == "full"  # not the auto "head"
+                assert dispatch.resolved_env("RCOT_BWD_BF16", "0") == "0"
+            # explicit user env: the scope-specific key wins in-scope
+            monkeypatch.setenv("RCOT_PALLAS_BLOCK", "full")
+            monkeypatch.setenv("RCOT_INFER_BLOCK", "tail")
+            with dispatch.inference_scope():
+                assert dispatch.block_mode() == "tail"
+            assert dispatch.block_mode() == "full"  # outside: user env
+        finally:
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
 
     def test_compile_failure_falls_back_and_logs(self, data_tree, tmp_path,
@@ -275,7 +366,7 @@ class TestAutoComposition:
         dispatch.pallas_enabled.cache_clear()
 
         def fake_jitted(cfg):
-            if os.environ.get("RCOT_PALLAS_BLOCK") == "full":
+            if dispatch.resolved_env("RCOT_PALLAS_BLOCK") == "full":
                 def bad(*a):
                     raise RuntimeError(
                         "INTERNAL: http://127.0.0.1:8103/remote_compile: "
@@ -289,12 +380,10 @@ class TestAutoComposition:
                            log_path=log)
         try:
             assert tr._step() == "safe-result"
-            assert "RCOT_PALLAS_BLOCK" not in os.environ
-            assert "RCOT_BWD_BF16" not in os.environ
+            assert dispatch.auto_overrides() == {}
             assert tr._auto_env == {}
         finally:
-            os.environ.pop("RCOT_PALLAS_BLOCK", None)
-            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
         events = [json.loads(l)["event"] for l in open(log)]
         assert "composition_fallback" in events
@@ -320,8 +409,76 @@ class TestAutoComposition:
             with pytest.raises(FloatingPointError):
                 tr._step()
         finally:
-            os.environ.pop("RCOT_PALLAS_BLOCK", None)
-            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.clear_auto()
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_runtime_internal_error_propagates(self, data_tree, tmp_path,
+                                               monkeypatch):
+        """A RUNTIME 'XlaRuntimeError: INTERNAL' (no compile-phase marker)
+        must NOT be swallowed into a composition fallback (VERDICT r4 weak
+        #4: the old broad match would silently retrain the whole run on the
+        slow composition instead of surfacing the error)."""
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+
+        class XlaRuntimeError(RuntimeError):
+            pass
+
+        def fake_jitted(cfg):
+            def bad(*a):
+                raise XlaRuntimeError("INTERNAL: Accelerator device halted")
+            return (bad, None)
+
+        monkeypatch.setattr(trmod, "_jitted_steps", fake_jitted)
+        tr = trmod.Trainer(make_cfg(data_tree, tmp_path, batch_size=8),
+                           log_path=None)
+        try:
+            with pytest.raises(XlaRuntimeError, match="halted"):
+                tr._step()
+        finally:
+            dispatch.clear_auto()
+            dispatch.pallas_enabled.cache_clear()
+
+    def test_fallback_retry_deleted_array_chains_original(
+            self, data_tree, tmp_path, monkeypatch):
+        """If the 'compile' failure actually fired during first execution
+        (donation already consumed the buffers), the retry hits 'Array has
+        been deleted' — the surfaced error must be the ORIGINAL compile-
+        phase one, with the deleted-array error chained as context
+        (advisor r4 low #2)."""
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+
+        def fake_jitted(cfg):
+            if dispatch.resolved_env("RCOT_PALLAS_BLOCK") == "full":
+                def bad(*a):
+                    raise RuntimeError(
+                        "INTERNAL: remote_compile: HTTP 500: "
+                        "tpu_compile_helper subprocess exit code 1")
+                return (bad, None)
+
+            def deleted(*a):
+                raise RuntimeError(
+                    "Array has been deleted with shape=float32[1,1,96,96].")
+            return (deleted, None)
+
+        monkeypatch.setattr(trmod, "_jitted_steps", fake_jitted)
+        tr = trmod.Trainer(make_cfg(data_tree, tmp_path, batch_size=8),
+                           log_path=str(tmp_path / "fb.jsonl"))
+        try:
+            with pytest.raises(RuntimeError, match="remote_compile") as ei:
+                tr._step()
+            assert "deleted" in repr(ei.value.__cause__)
+        finally:
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
 
     def test_auto_keys_on_per_chip_batch_under_mesh(self, data_tree,
@@ -345,6 +502,5 @@ class TestAutoComposition:
             auto = trmod._apply_auto_composition(cfg, None)
             assert set(auto) == {"RCOT_PALLAS_BLOCK", "RCOT_BWD_BF16"}
         finally:
-            os.environ.pop("RCOT_PALLAS_BLOCK", None)
-            os.environ.pop("RCOT_BWD_BF16", None)
+            dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
