@@ -169,13 +169,26 @@ def compute_psnr_ssim(recovered: jax.Array, clean: jax.Array,
     return jnp.mean(ps), jnp.mean(ss), b
 
 
-def niqe(img: jax.Array) -> float:
+def niqe(img, model=None, model_path: str = None) -> float:
     """No-reference NIQE (reference: util/val_utils.py:69-74 wraps
-    skvideo.measure.niqe, a dependency this environment does not ship and the
-    reference main path never calls). Kept as an explicit unsupported stub."""
-    raise NotImplementedError(
-        "NIQE requires skvideo (unavailable); the reference main path never "
-        "uses it (util/val_utils.py:69-74 is dead code)")
+    skvideo.measure.niqe). Real implementation in metrics/niqe.py — the full
+    MSCN + GGD/AGGD NSS pipeline at two scales. A pristine model is required:
+    pass a fitted `model` dict (metrics.niqe.fit_niqe_model — surrogate,
+    relative scores), a `model_path` (turnkey .mat/.npz official params), or
+    set RCOT_NIQE_MODEL to a params file."""
+    import os as _os
+
+    from . import niqe as _niqe
+    if model is None:
+        path = model_path or _os.environ.get("RCOT_NIQE_MODEL")
+        if not path:
+            raise ValueError(
+                "NIQE needs a pristine model: pass model=fit_niqe_model(...) "
+                "or model_path=/RCOT_NIQE_MODEL= a niqe params .mat/.npz "
+                "(the official niqe_image_params.mat is download-time data "
+                "unavailable in-sandbox — STATUS weights-sweep entries)")
+        model = _niqe.load_niqe_model(path)
+    return _niqe.niqe(np.asarray(img), model)
 
 
 class Timer:

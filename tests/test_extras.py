@@ -229,10 +229,13 @@ class TestValUtils:
         assert 20 < float(p) < 40
         assert 0.5 < float(s) < 1.0
 
-    def test_niqe_stub_raises(self):
+    def test_niqe_requires_pristine_model(self):
+        # the real NIQE implementation + its math tests live in
+        # metrics/niqe.py / tests/test_niqe.py; the quality-facade contract
+        # is "no silent default model"
         from rcot_tpu.metrics.quality import niqe
-        with pytest.raises(NotImplementedError):
-            niqe(jnp.ones((8, 8)))
+        with pytest.raises(ValueError, match="pristine model"):
+            niqe(jnp.ones((128, 128)))
 
     def test_timer(self):
         from rcot_tpu.metrics.quality import Timer
