@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also report mean LPIPS (the reference lists lpips "
                         "but left the calls commented out, evaluate.py:95-96)")
     p.add_argument("--lpips-weights", default=None)
+    p.add_argument("--niqe-model", default=None,
+                   help="NIQE pristine-model params (.mat/.npz) or "
+                        "'fit:<folder>' to fit a surrogate from a clean "
+                        "folder; reports mean no-reference NIQE of the "
+                        "restored outputs (metrics/niqe.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--backbone", choices=["auto", "restormer", "mprnet"],
                    default="auto",
@@ -155,6 +160,20 @@ def main(argv=None) -> None:
         from ..metrics.lpips import init_lpips_params, lpips as lpips_dist
         lp = init_lpips_params(args.lpips_weights)
         lpips_fn = jax.jit(lambda a, b: lpips_dist(lp, a, b))
+    n_meter = AverageMeter()
+    niqe_model = None
+    if args.niqe_model:
+        from ..metrics import niqe as niqe_mod
+        if args.niqe_model.startswith("fit:"):
+            folder = args.niqe_model[4:]
+            from ..data.datasets import list_image_folder
+            imgs = [load_rgb(f).astype(np.float64)
+                    for f in list_image_folder(folder)]
+            niqe_model = niqe_mod.fit_niqe_model(imgs)
+            print(f"NIQE: surrogate model fit on {len(imgs)} images from "
+                  f"{folder} (relative scores only)")
+        else:
+            niqe_model = niqe_mod.load_niqe_model(args.niqe_model)
     best = (-1.0, None)
     worst = (1e9, None)
 
@@ -187,6 +206,13 @@ def main(argv=None) -> None:
             if lpips_fn is not None:
                 l_meter.update(float(lpips_fn(jnp.asarray(out)[None],
                                               jnp.asarray(tar)[None])[0]))
+            if niqe_model is not None:
+                from ..metrics import niqe as niqe_mod
+                try:
+                    n_meter.update(niqe_mod.niqe(np.asarray(out, np.float64),
+                                                 niqe_model))
+                except ValueError as e:  # image smaller than one 96px patch
+                    print(f"niqe skip {name}: {e}")
             nonlocal best, worst
             if p > best[0]:
                 best = (p, name)
@@ -223,6 +249,8 @@ def main(argv=None) -> None:
     print(f"SSIM: average {s_meter.avg:.5f}")
     if lpips_fn is not None:
         print(f"LPIPS: average {l_meter.avg:.5f}")
+    if niqe_model is not None and n_meter.count:
+        print(f"NIQE: average {n_meter.avg:.5f} ({n_meter.count} images)")
 
     if args.fid:
         from .fid import compute_fid_folders

@@ -291,6 +291,48 @@ class TestTesterCLI:
         assert sorted(os.listdir(out_dir)) == ["im0.png", "im1.png", "im2.png"]
 
     @pytest.mark.slow
+    def test_rcot_test_with_niqe_surrogate(self, tiny_config, tmp_path,
+                                           capsys):
+        """--niqe-model fit:<folder> fits a surrogate pristine model from
+        the target folder and reports mean no-reference NIQE of the
+        restored outputs (metrics/niqe.py; images must fit >= one 96px
+        patch)."""
+        import jax
+        from PIL import Image
+
+        from rcot_tpu.cli.test import main as test_main
+        from rcot_tpu.train.steps import create_train_state
+        from rcot_tpu.utils.checkpoint import save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), tiny_config)
+        ckpt = save_checkpoint(
+            str(tmp_path / "m_step0"), state,
+            metadata={"config": tiny_config.to_dict()})
+        rng = np.random.default_rng(0)
+        deg_dir, tar_dir = tmp_path / "deg", tmp_path / "tar"
+        os.makedirs(deg_dir)
+        os.makedirs(tar_dir)
+        from scipy.ndimage import gaussian_filter
+        for i in range(3):  # smooth enough to have NSS structure, 128px
+            base = gaussian_filter(rng.normal(0, 1, (128, 128, 3)), 2.0)
+            tar = ((base - base.min()) / (np.ptp(base) + 1e-9) * 255
+                   ).astype(np.uint8)
+            deg = np.clip(tar.astype(int) + rng.integers(-40, 40, tar.shape),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(deg).save(deg_dir / f"im{i}.png")
+            Image.fromarray(tar).save(tar_dir / f"im{i}.png")
+        test_main([
+            "--ckpt", ckpt, "--degset", str(deg_dir), "--tarset", str(tar_dir),
+            "--save", str(tmp_path / "out") + "/",
+            "--savetar", str(tmp_path / "st") + "/",
+            "--saveres", str(tmp_path / "sr") + "/",
+            "--niqe-model", f"fit:{tar_dir}",
+        ])
+        got = capsys.readouterr().out
+        assert "surrogate model fit on 3 images" in got
+        assert "NIQE: average" in got and "(3 images)" in got
+
+    @pytest.mark.slow
     def test_rcot_eval_denoise_end_to_end(self, tiny_config, tmp_path, capsys):
         """Drive the unified eval CLI for real (its load_t_params unpack
         once broke with only the parser under test): tiny checkpoint +
