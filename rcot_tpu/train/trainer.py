@@ -313,10 +313,26 @@ class Trainer:
         return epochs
 
     def save(self, epoch: int, epoch_step: int = 0, *,
-             blocking: bool = False) -> str:
+             blocking: bool = False, skip_if_busy: bool = False) -> str:
         t = self.cfg.train
         name = f"{t.run_name}_step{self.host_step}"
         path = os.path.join(t.ckpt_dir, name)
+        if (skip_if_busy and self._async_ckpt is not None
+                and jax.process_count() == 1 and self._async_ckpt.busy):
+            # periodic-save semantics: the previous write is still in
+            # flight (620 MB over the sandbox tunnel can outlive the
+            # inter-checkpoint window) — skipping costs nothing, BLOCKING
+            # costs the chip 50-90 s (measured, r5 capstone epochs 1-2:
+            # every >5 s/step window sat exactly on the ckpt cadence).
+            # Checked BEFORE the snapshot so the skipped save doesn't even
+            # pay the device copy. Single-process only: in multi-host the
+            # busy flag is lead-local while snapshot_state is a collective
+            # launch on every process — a lead-only skip would diverge the
+            # launch sequence (and the tunnel-stall pathology this guards
+            # against is a single-host condition anyway).
+            self.log.log("ckpt_skipped_inflight", epoch=epoch,
+                         epoch_step=epoch_step, step=self.host_step)
+            return ""
         # the donation-safe snapshot is a jitted program over the (possibly
         # global, multi-host) state — EVERY process must launch it, before
         # the lead-only filesystem gate below (single-controller launches
@@ -399,7 +415,7 @@ class Trainer:
                              ckpt=path)
                 raise Preempted(path)
             if t.ckpt_every_steps and (step_idx + 1) % t.ckpt_every_steps == 0:
-                self.save(epoch, epoch_step=step_idx + 1)
+                self.save(epoch, epoch_step=step_idx + 1, skip_if_busy=True)
             if step_idx % t.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = timer.stop(t.batch_size)

@@ -151,23 +151,40 @@ class AsyncCheckpointer:
 
     At most one save is in flight: a second save() first joins the pending
     one (backpressure), which serializes keep-N pruning and the `latest`
-    symlink update. A worker-thread failure re-raises at the next save()/
-    wait() rather than being lost. Callers on a shutdown path (preemption,
-    end of fit) must wait() so the final checkpoint is durable before the
-    process exits.
+    symlink update — OR, with skip_if_busy=True, returns None without
+    writing when a save is still in flight. Periodic checkpoints should
+    skip, not block: the r5 capstone measured 50-90 s stalls at EVERY
+    300-step checkpoint because the 620 MB tunnel write outlives the
+    inter-checkpoint compute window, so backpressure turned the async path
+    back into a synchronous one (runs/all_in_one_r5.jsonl epochs 1-2: every
+    >5 s/step window sits exactly on the ckpt cadence). Skipping one
+    periodic save costs nothing — the in-flight one already bounds lost
+    work. A worker-thread failure re-raises at the next save()/wait()
+    rather than being lost. Callers on a shutdown path (preemption, end of
+    fit) must wait() so the final checkpoint is durable before the process
+    exits.
     """
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
         self._err: Optional[BaseException] = None
 
+    @property
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
     def save(self, path: str, state: Any, *,
              metadata: Optional[Dict] = None, keep_n: int = 0,
-             snapshotted: bool = False) -> str:
+             snapshotted: bool = False,
+             skip_if_busy: bool = False) -> Optional[str]:
         """snapshotted=True: `state` is already a donation-safe snapshot
         (multi-host callers take it SPMD-symmetrically on every process via
         snapshot_state() BEFORE the lead-only gate — launching the jitted
-        copy from a single controller over global arrays is undefined)."""
+        copy from a single controller over global arrays is undefined).
+        skip_if_busy=True: return None instead of blocking when a previous
+        write is still in flight (periodic-save semantics)."""
+        if skip_if_busy and self.busy:
+            return None
         self.wait()
         snap = _ensure_snapshot(state, snapshotted)
 

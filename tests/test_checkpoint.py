@@ -240,6 +240,46 @@ class TestAsyncCheckpointer:
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_skip_if_busy_drops_instead_of_blocking(self, tmp_path,
+                                                    monkeypatch):
+        """Periodic-save semantics: when a write is in flight, skip_if_busy
+        returns None immediately instead of joining it. The r5 capstone
+        measured 50-90 s stalls at EVERY 300-step checkpoint because the
+        620 MB tunnel write outlives the compute window and the old
+        backpressure turned async saves synchronous."""
+        import threading
+        import time
+
+        from rcot_tpu.utils import checkpoint as ckpt_mod
+        from rcot_tpu.utils.checkpoint import AsyncCheckpointer
+
+        release = threading.Event()
+        real_save = ckpt_mod.save_checkpoint
+
+        def slow_save(path, state, **kw):
+            release.wait(timeout=30)
+            return real_save(path, state, **kw)
+
+        monkeypatch.setattr(ckpt_mod, "save_checkpoint", slow_save)
+        ac = AsyncCheckpointer()
+        first = ac.save(str(tmp_path / "s_step0"), _state(0))
+        assert ac.busy
+        t0 = time.perf_counter()
+        skipped = ac.save(str(tmp_path / "s_step1"), _state(1),
+                          skip_if_busy=True)
+        assert skipped is None
+        assert time.perf_counter() - t0 < 5  # returned without joining
+        release.set()
+        ac.wait()
+        assert not ac.busy
+        assert os.path.exists(first)
+        assert not os.path.exists(str(tmp_path / "s_step1.npz"))
+        # idle again: skip_if_busy saves normally
+        assert ac.save(str(tmp_path / "s_step2"), _state(2),
+                       skip_if_busy=True) is not None
+        ac.wait()
+        assert os.path.exists(str(tmp_path / "s_step2.npz"))
+
     def test_worker_error_reraises(self, tmp_path):
         from rcot_tpu.utils.checkpoint import AsyncCheckpointer
 
