@@ -217,34 +217,48 @@ class Trainer:
             self._auto_env = _apply_auto_composition(self.cfg, self.mesh)
             self._steps = _jitted_steps(self.cfg)
         if self._auto_env and not self._stepped:
-            # first STEP dispatch = trace + compile of the auto composition
-            # (regardless of whether _preproc built the jit pair first); if
-            # the shape can't compile it, fall back to the shipped safe
-            # default (gram+TAIL fp32) instead of killing the run.
-            # Execution never started, so the donated state is intact for
-            # the retry.
-            try:
-                out = self._steps[0](*args)
-            except Exception as e:
-                if not _is_compile_failure(e):
-                    raise
-                from ..ops import dispatch
-                dispatch.clear_auto()
-                self.log.log("composition_fallback",
-                             dropped=sorted(self._auto_env),
-                             error=repr(e)[:200])
-                self._auto_env = {}
-                self._steps = _jitted_steps(self.cfg)
+            # First STEP dispatch = trace + compile of the auto composition
+            # (regardless of whether _preproc built the jit pair first). If
+            # the shape can't compile it, fall back STAGE BY STAGE instead
+            # of killing the run: full+bf16 -> bf16-only (gram+TAIL+bf16,
+            # 35.2 vs 33.7 patches/s at b8, BENCH.md r4) -> shipped safe
+            # default. The ladder matters in practice: the real trainer
+            # program (preproc fused in) is bigger than the bare bench
+            # iteration, and the r5 phase-P run showed gram+FULL+bf16
+            # re-crossing the compile wall there while smaller compositions
+            # may still fit. Execution never started on a compile failure,
+            # so the donated state is intact for each retry.
+            from ..ops import dispatch
+            stages = [self._auto_env]
+            if len(self._auto_env) > 1 and "RCOT_BWD_BF16" in self._auto_env:
+                stages.append(
+                    {"RCOT_BWD_BF16": self._auto_env["RCOT_BWD_BF16"]})
+            stages.append({})
+            first_err = None
+            out = None
+            for i, stage in enumerate(stages):
+                if i > 0:
+                    dispatch.set_auto(stage)
+                    self._auto_env = dict(stage)
+                    self.log.log("composition_fallback",
+                                 dropped=sorted(set(stages[i - 1]) - set(stage)),
+                                 kept=sorted(stage),
+                                 error=repr(first_err)[:200])
+                    self._steps = _jitted_steps(self.cfg)
                 try:
                     out = self._steps[0](*args)
-                except RuntimeError as e2:
-                    if "deleted" in repr(e2):
+                    break
+                except Exception as e:
+                    if first_err is not None and "deleted" in repr(e):
                         # the "compile" failure actually fired during the
                         # FIRST EXECUTION, after donation consumed the state
                         # buffers — the deleted-array error is a symptom;
                         # surface the original (advisor r4 low #2)
-                        raise e from e2
-                    raise
+                        raise first_err from e
+                    if i == len(stages) - 1 or not _is_compile_failure(e):
+                        raise
+                    if first_err is None:
+                        first_err = e
             self._stepped = True
             return out
         return self._steps[0](*args)

@@ -408,13 +408,51 @@ class TestAutoComposition:
                            log_path=log)
         try:
             assert tr._step() == "safe-result"
+            # the STAGED ladder stops at the first compiling stage:
+            # bf16-only (gram+TAIL+bf16 beats tail fp32 at b8, BENCH r4)
+            assert dispatch.auto_overrides() == {"RCOT_BWD_BF16": "all"}
+            assert tr._auto_env == {"RCOT_BWD_BF16": "all"}
+        finally:
+            dispatch.clear_auto()
+            dispatch.pallas_enabled.cache_clear()
+        events = [json.loads(l)["event"] for l in open(log)]
+        assert events.count("composition_fallback") == 1
+
+    def test_compile_failure_ladder_falls_through_to_default(
+            self, data_tree, tmp_path, monkeypatch):
+        """When the bf16-only middle stage also fails to compile, the
+        ladder lands on the shipped safe default ({})."""
+        from rcot_tpu.ops import dispatch
+        from rcot_tpu.train import trainer as trmod
+        monkeypatch.setenv("RCOT_PALLAS", "1")
+        monkeypatch.delenv("RCOT_PALLAS_BLOCK", raising=False)
+        monkeypatch.delenv("RCOT_BWD_BF16", raising=False)
+        dispatch.pallas_enabled.cache_clear()
+
+        def fake_jitted(cfg):
+            if dispatch.auto_overrides():  # any auto stage fails
+                def bad(*a):
+                    raise RuntimeError(
+                        "Mosaic lowering failed in remote_compile")
+                return (bad, None)
+            return ((lambda *a: "default-result"), None)
+
+        monkeypatch.setattr(trmod, "_jitted_steps", fake_jitted)
+        log = str(tmp_path / "fallback2.jsonl")
+        tr = trmod.Trainer(make_cfg(data_tree, tmp_path, batch_size=8),
+                           log_path=log)
+        try:
+            assert tr._step() == "default-result"
             assert dispatch.auto_overrides() == {}
             assert tr._auto_env == {}
         finally:
             dispatch.clear_auto()
             dispatch.pallas_enabled.cache_clear()
-        events = [json.loads(l)["event"] for l in open(log)]
-        assert "composition_fallback" in events
+        events = [json.loads(l) for l in open(log)]
+        fallbacks = [e for e in events if e["event"] == "composition_fallback"]
+        assert len(fallbacks) == 2  # full+bf16 -> bf16 -> {}
+        assert fallbacks[0]["dropped"] == ["RCOT_PALLAS_BLOCK"]
+        assert fallbacks[1]["dropped"] == ["RCOT_BWD_BF16"]
 
     def test_non_compile_error_propagates(self, data_tree, tmp_path,
                                           monkeypatch):
