@@ -140,11 +140,16 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def niqe_features(img: np.ndarray, patch_size: int = 96,
-                  sharpness_threshold: float = 0.75) -> np.ndarray:
-    """Per-patch 36-dim NSS feature matrix of one image (rows = selected
-    patches). Matches the MATLAB computefeature/computequality layout:
-    patch grid at scale 1, sharpness selection at scale 1 reused at scale 2,
-    second scale = MATLAB-bicubic 0.5 downsample."""
+                  sharpness_threshold: Optional[float] = None) -> np.ndarray:
+    """Per-patch 36-dim NSS feature matrix of one image (rows = patches).
+    Matches the MATLAB computefeature/computequality layout: patch grid at
+    scale 1 (selection, when enabled, computed at scale 1 and reused at
+    scale 2), second scale = MATLAB-bicubic 0.5 downsample.
+
+    sharpness_threshold: None (default) keeps ALL patches — what the
+    reference implementations do when SCORING a test image; pass a value
+    (0.75 in the papers) only when FITTING a pristine model, where the
+    corpus is filtered to its sharp patches."""
     from ..data.imresize import imresize
 
     gray = _to_gray(img)
@@ -158,11 +163,15 @@ def niqe_features(img: np.ndarray, patch_size: int = 96,
 
     coeffs, sigma_field = mscn(gray, win)
     ny, nx = hc // patch_size, wc // patch_size
-    sharpness = sigma_field[:ny * patch_size, :nx * patch_size].reshape(
-        ny, patch_size, nx, patch_size).mean(axis=(1, 3)).ravel()
-    selected = np.flatnonzero(sharpness > sharpness_threshold * sharpness.max())
-    if selected.size == 0:
-        selected = np.array([int(np.argmax(sharpness))])
+    if sharpness_threshold is None:
+        selected = np.arange(ny * nx)
+    else:
+        sharpness = sigma_field[:ny * patch_size, :nx * patch_size].reshape(
+            ny, patch_size, nx, patch_size).mean(axis=(1, 3)).ravel()
+        selected = np.flatnonzero(
+            sharpness > sharpness_threshold * sharpness.max())
+        if selected.size == 0:
+            selected = np.array([int(np.argmax(sharpness))])
 
     half = imresize(gray / 255.0, scale=0.5) * 255.0
     coeffs2, _ = mscn(half, win)
@@ -182,12 +191,27 @@ def niqe_features(img: np.ndarray, patch_size: int = 96,
 
 # ---------------------------------------------------------------- the model
 
-def fit_niqe_model(images: Sequence[np.ndarray], patch_size: int = 96) -> Dict:
+def fit_niqe_model(images: Sequence[np.ndarray], patch_size: int = 96,
+                   sharpness_threshold: float = 0.75) -> Dict:
     """Fit a pristine MVG model {mu, cov} from clean images (the surrogate
     path — relative scores only; absolute parity needs the official
-    niqe_image_params via load_niqe_model)."""
-    feats = np.concatenate(
-        [niqe_features(im, patch_size) for im in images], axis=0)
+    niqe_image_params via load_niqe_model). Sharpness selection applies
+    HERE (the pristine corpus keeps only its sharp patches, per the
+    reference implementations); scoring uses all patches. Images smaller
+    than one patch are skipped with a warning rather than aborting the
+    whole fit."""
+    import warnings
+    rows = []
+    for im in images:
+        try:
+            rows.append(niqe_features(im, patch_size, sharpness_threshold))
+        except ValueError as e:
+            warnings.warn(f"fit_niqe_model: skipping image: {e}")
+    if not rows:
+        raise ValueError(
+            f"no usable images: all inputs smaller than one "
+            f"{patch_size}px NIQE patch (or empty input list)")
+    feats = np.concatenate(rows, axis=0)
     if feats.shape[0] < 2:
         raise ValueError("need >= 2 selected patches to fit a covariance")
     return {"mu": feats.mean(axis=0),
@@ -223,15 +247,15 @@ def save_niqe_model(path: str, model: Dict) -> str:
     return path
 
 
-def niqe(img: np.ndarray, model: Dict,
-         sharpness_threshold: float = 0.75) -> float:
+def niqe(img: np.ndarray, model: Dict) -> float:
     """NIQE score of one image against a pristine model (lower = better).
     Distance between the pristine MVG and the image's fitted MVG with the
-    pooled covariance, pinv for rank-deficient fits (few selected patches
-    give a singular 36x36 covariance — MATLAB hits the same and also uses
-    pinv)."""
-    feats = niqe_features(img, model.get("patch_size", 96),
-                          sharpness_threshold)
+    pooled covariance, pinv for rank-deficient fits (few patches give a
+    singular 36x36 covariance — MATLAB hits the same and also uses pinv).
+    ALL patches of the test image contribute (sharpness selection is a
+    pristine-FIT step only, matching skvideo/MATLAB — scoring with
+    selection would shift mu/cov away from what published numbers use)."""
+    feats = niqe_features(img, model.get("patch_size", 96))
     mu_d = feats.mean(axis=0)
     cov_d = (np.cov(feats, rowvar=False) if feats.shape[0] > 1
              else np.zeros((feats.shape[1], feats.shape[1])))

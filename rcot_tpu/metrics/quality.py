@@ -17,6 +17,8 @@ All math runs in jnp so eval batches stay on device.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,8 +189,16 @@ def niqe(img, model=None, model_path: str = None) -> float:
                 "or model_path=/RCOT_NIQE_MODEL= a niqe params .mat/.npz "
                 "(the official niqe_image_params.mat is download-time data "
                 "unavailable in-sandbox — STATUS weights-sweep entries)")
-        model = _niqe.load_niqe_model(path)
+        model = _load_niqe_model_cached(path)
     return _niqe.niqe(np.asarray(img), model)
+
+
+@_functools.lru_cache(maxsize=4)
+def _load_niqe_model_cached(path: str):
+    # per-image facade calls with RCOT_NIQE_MODEL set must not re-read and
+    # re-parse the params file N times for an N-image eval
+    from . import niqe as _niqe
+    return _niqe.load_niqe_model(path)
 
 
 class Timer:

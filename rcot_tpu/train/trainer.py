@@ -117,13 +117,18 @@ def _is_compile_failure(e: Exception) -> bool:
     probe_r*.jsonl: 'INTERNAL: http://…/remote_compile: HTTP 500:
     tpu_compile_helper subprocess exit code 1', sometimes as MosaicError).
     Deliberately NOT matched (advisor r4 + VERDICT r4 weak #4): bare
-    'XlaRuntimeError: INTERNAL' and 'RESOURCE_EXHAUSTED' — those fire at
-    RUNTIME too, after donation has already consumed the state buffers, and
-    swallowing one would silently retrain the whole run on the fallback
-    composition instead of surfacing the real error."""
+    'XlaRuntimeError: INTERNAL' — it fires at RUNTIME too, and swallowing
+    one would silently retrain the whole run on the fallback composition
+    instead of surfacing the real error. RESOURCE_EXHAUSTED IS matched:
+    compile-phase VMEM exhaustion is a composition property the ladder must
+    catch, and the runtime case is safe under the ladder either way — if
+    donation already consumed the buffers, the retry's deleted-array error
+    re-raises the original (so nothing is masked), and if the retry runs,
+    falling back to a smaller-memory composition after an OOM is the
+    desired behavior anyway."""
     s = repr(e)
     return any(m in s for m in ("remote_compile", "tpu_compile_helper",
-                                "Mosaic"))
+                                "Mosaic", "RESOURCE_EXHAUSTED"))
 
 
 def _jitted_steps(cfg: Config):
@@ -188,12 +193,16 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.start_step = 0  # mid-epoch resume point
-        # epochs whose validation is already in the resumed JSONL log —
+        # {epoch: degset} for validations already in the resumed JSONL log —
         # training is deterministic (step-exact resume), so re-running
         # evaluate_folder for them reproduces the identical PSNR at 2-4
         # TPU-minutes a pop (VERDICT r4 weak #5: every relay bounce of the
-        # r4 capstone logged each epoch's validation twice)
-        self._validated_epochs: set = set()
+        # r4 capstone logged each epoch's validation twice). fit() only
+        # trusts an entry when the config hash matched at resume and the
+        # logged degset equals this run's (a changed config or val folder
+        # must re-measure, not inherit stale numbers).
+        self._validated_epochs: dict = {}
+        self._resume_config_ok = False  # set by resume()
         self._last_log = None  # (wall time, host_step) at the last log point
         # host mirror of state.step: reading the device scalar every iteration
         # would force a sync and stall the pipeline.
@@ -249,7 +258,8 @@ class Trainer:
                     out = self._steps[0](*args)
                     break
                 except Exception as e:
-                    if first_err is not None and "deleted" in repr(e):
+                    if (first_err is not None
+                            and "Array has been deleted" in repr(e)):
                         # the "compile" failure actually fired during the
                         # FIRST EXECUTION, after donation consumed the state
                         # buffers — the deleted-array error is a symptom;
@@ -291,6 +301,8 @@ class Trainer:
         self.host_step = int(state.step)
         self.start_epoch = int(meta.get("epoch", 1))
         self.start_step = int(meta.get("epoch_step", 0))
+        self._resume_config_ok = meta.get("config_hash") in (
+            self.cfg.hash(), self.cfg.hash_legacy())
         if meta.get("config_hash") not in (None, self.cfg.hash(),
                                            self.cfg.hash_legacy()):
             self.log.log("resume_config_mismatch", ckpt=path,
@@ -299,19 +311,22 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.sharding import shard_state
             self.state = shard_state(self.mesh, self.state)
-        self._validated_epochs = self._logged_validation_epochs()
+        self._validated_epochs = self._logged_validations()
         self.log.log("resumed", path=path, epoch=self.start_epoch,
                      epoch_step=self.start_step,
                      validated_epochs=sorted(self._validated_epochs))
 
-    def _logged_validation_epochs(self) -> set:
-        """Epochs with a validation event already in this run's JSONL log
-        (the file the relaunched process appends to)."""
+    def _logged_validations(self) -> dict:
+        """{epoch: degset-or-None} for validation events already in this
+        run's JSONL log (the file the relaunched process appends to).
+        The degset lets fit() refuse to trust a validation taken against a
+        DIFFERENT eval folder; events from before the field existed map to
+        None and are treated as not skippable."""
         import json
         path = getattr(self.log, "path", None)
         if not path or not os.path.exists(path):
-            return set()
-        epochs = set()
+            return {}
+        epochs = {}
         try:
             with open(path) as f:
                 for line in f:
@@ -321,9 +336,9 @@ class Trainer:
                         continue  # torn tail line from a killed process
                     if (rec.get("event") == "validation"
                             and rec.get("epoch") is not None):
-                        epochs.add(int(rec["epoch"]))
+                        epochs[int(rec["epoch"])] = rec.get("degset")
         except OSError:
-            return set()
+            return {}
         return epochs
 
     def save(self, epoch: int, epoch_step: int = 0, *,
@@ -542,8 +557,16 @@ class Trainer:
                     epoch, start,
                     profile_dir if epoch == self.start_epoch else None)
                 if eval_degset and epoch % t.eval_every == 0:
-                    if epoch in self._validated_epochs:
-                        # resumed run, epoch already validated in this log:
+                    # Skip only when the logged validation is provably THIS
+                    # run's: same config hash at resume, same eval folder,
+                    # and single-process (multi-host: the log is lead-local,
+                    # so a lead-only skip would diverge the collective
+                    # program sequence across processes — same hazard class
+                    # the snapshot gate in save() guards).
+                    if (self._resume_config_ok
+                            and jax.process_count() == 1
+                            and self._validated_epochs.get(epoch)
+                            == eval_degset):
                         # deterministic training reproduces the same params,
                         # so the PSNR would be identical — skip the 2-4 min
                         # re-evaluation (VERDICT r4 weak #5)
@@ -553,7 +576,8 @@ class Trainer:
                         p = self.evaluate_folder(eval_degset, eval_tarset)
                         self.log.log("validation", epoch=epoch, psnr=p,
                                      patch_size=self.cfg.data.patch_size,
-                                     batch_size=t.batch_size)
+                                     batch_size=t.batch_size,
+                                     degset=eval_degset)
                 if epoch % t.ckpt_every == 0:
                     self.save(epoch + 1)  # resume starts at the NEXT epoch
         except Preempted:

@@ -111,6 +111,29 @@ class TestScore:
         with pytest.raises(ValueError, match="smaller"):
             nq.niqe(rng.uniform(size=(64, 64)) * 255, model)
 
+    def test_scoring_uses_all_patches(self):
+        """Sharpness selection is a pristine-FIT step only (skvideo/MATLAB
+        parity): a test image's feature matrix has one row per grid patch,
+        however flat some patches are."""
+        rng = np.random.default_rng(8)
+        img = rng.uniform(size=(192, 192)) * 255
+        img[:96, :96] = 128.0  # one completely flat patch
+        assert nq.niqe_features(img).shape == (4, 36)
+        # with the fit threshold, the flat patch is dropped
+        assert nq.niqe_features(img, sharpness_threshold=0.75).shape[0] < 4
+
+    def test_fit_skips_small_images_and_rejects_empty(self):
+        rng = np.random.default_rng(9)
+        good = [rng.uniform(size=(192, 192)) * 255 for _ in range(2)]
+        small = rng.uniform(size=(64, 64)) * 255
+        with pytest.warns(UserWarning, match="skipping image"):
+            model = nq.fit_niqe_model(good + [small])
+        assert model["mu"].shape == (36,)
+        with pytest.raises(ValueError, match="no usable images"):
+            nq.fit_niqe_model([small])
+        with pytest.raises(ValueError, match="no usable images"):
+            nq.fit_niqe_model([])
+
 
 class TestModelIO:
     def test_npz_roundtrip(self, tmp_path):

@@ -217,7 +217,8 @@ class TestTrainerLoop:
         tr2 = Trainer(make_cfg(data_tree, tmp_path, ckpt_every_steps=3),
                       log_path=log)
         tr2.resume(ckpt)
-        assert tr2._validated_epochs == {1}
+        assert tr2._validated_epochs == {1: deg}
+        assert tr2._resume_config_ok
         tr2.fit(eval_degset=deg, eval_tarset=tar)
         assert tr2.host_step == 4  # finished the epoch
         events = [json.loads(l) for l in open(log)]
@@ -225,6 +226,18 @@ class TestTrainerLoop:
         assert len(vals) == 1 and vals[0]["epoch"] == 1
         skips = [e for e in events if e["event"] == "validation_skipped"]
         assert len(skips) == 1 and skips[0]["epoch"] == 1
+
+        # a DIFFERENT eval folder must NOT inherit the logged validation:
+        # the skip is keyed on (config hash, degset), review r5 finding
+        tar2 = f"{data_tree}/Derain/gt"
+        tr3 = Trainer(make_cfg(data_tree, tmp_path, ckpt_every_steps=3),
+                      log_path=log)
+        tr3.resume(ckpt)
+        tr3.fit(eval_degset=tar2, eval_tarset=tar2)
+        events = [json.loads(l) for l in open(log)]
+        vals2 = [e for e in events if e["event"] == "validation"
+                 and e.get("degset") == tar2]
+        assert len(vals2) == 1  # re-measured, not skipped
 
     @pytest.mark.slow
     def test_fit_with_data_parallel_mesh(self, data_tree, tmp_path):
